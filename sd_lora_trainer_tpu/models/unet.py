@@ -1,0 +1,483 @@
+"""UNet2DCondition (SD1.5 + SDXL) in functional JAX, NHWC, bf16-first.
+
+The reference gets this model from diffusers (trainer/models.py:7-54 loads the
+pipeline; trainer/main.py:329-336 runs the forward). We own it: one
+implementation parameterized by `UNetConfig` covers both SD1.5 (4 levels,
+transformer depth 1, 8 heads, cross-dim 768) and SDXL (3 levels, transformer
+depths 0/2/10, 64-dim heads, cross-dim 2048, text_time additional embeddings).
+
+TPU-first design notes:
+- NHWC activations and HWIO conv kernels (XLA's native TPU conv layout).
+- attention is `ops.attention` (einsum + fp32 softmax) with a Pallas flash
+  path for the long-sequence self-attention blocks.
+- every cross-attention can emit DAAM score aux outputs — the reference's
+  monkey-patched processors (trainer/ti_cross_attn_loss.py:114-230) become a
+  `capture_attn` flag returning {layer_name: [B, Lq, 77]} alongside the output.
+- `remat=True` wraps each down/mid/up block in jax.checkpoint so the 2.6B-param
+  SDXL UNet trains at 1024px within a v5e chip's HBM.
+
+Param tree mirrors diffusers module naming (down_blocks.N.attentions.M...),
+which is the naming the kohya export contract is expressed in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sd_lora_trainer_tpu.models.layers import (
+    conv2d,
+    dense,
+    gelu,
+    group_norm,
+    layer_norm,
+    silu,
+    timestep_embedding,
+    upsample_nearest_2x,
+)
+from sd_lora_trainer_tpu.ops.attention import multihead_attention, self_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    # per-level: True => CrossAttnDownBlock2D / CrossAttnUpBlock2D
+    cross_attention: Tuple[bool, ...] = (True, True, True, False)
+    layers_per_block: int = 2
+    transformer_layers: Tuple[int, ...] = (1, 1, 1, 0)  # per level
+    num_heads: Tuple[int, ...] = (8, 8, 8, 8)  # per level
+    mid_transformer_layers: int = 1
+    mid_num_heads: int = 8
+    cross_attention_dim: int = 768
+    use_linear_projection: bool = False
+    norm_num_groups: int = 32
+    # SDXL "text_time" additional embeddings
+    addition_embed_dim: Optional[int] = None  # 256 for SDXL
+    addition_pooled_dim: Optional[int] = None  # 1280 for SDXL
+    addition_time_ids: int = 6
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @property
+    def addition_input_dim(self) -> Optional[int]:
+        if self.addition_embed_dim is None:
+            return None
+        return self.addition_pooled_dim + self.addition_embed_dim * self.addition_time_ids
+
+
+SD15_UNET_CONFIG = UNetConfig()
+
+SDXL_UNET_CONFIG = UNetConfig(
+    block_out_channels=(320, 640, 1280),
+    cross_attention=(False, True, True),
+    transformer_layers=(0, 2, 10),
+    num_heads=(5, 10, 20),
+    mid_transformer_layers=10,
+    mid_num_heads=20,
+    cross_attention_dim=2048,
+    use_linear_projection=True,
+    addition_embed_dim=256,
+    addition_pooled_dim=1280,
+)
+
+# Tiny config for unit tests and the multichip dry-run: same topology as SDXL
+# (3 levels, one attention-free level, text_time embeddings) at toy widths.
+TINY_SDXL_UNET_CONFIG = UNetConfig(
+    block_out_channels=(32, 64, 64),
+    cross_attention=(False, True, True),
+    layers_per_block=1,
+    transformer_layers=(0, 1, 2),
+    num_heads=(1, 2, 2),
+    mid_transformer_layers=1,
+    mid_num_heads=2,
+    cross_attention_dim=64,
+    use_linear_projection=True,
+    norm_num_groups=8,
+    addition_embed_dim=8,
+    addition_pooled_dim=32,
+)
+
+TINY_SD15_UNET_CONFIG = UNetConfig(
+    block_out_channels=(32, 64, 64, 64),
+    cross_attention=(True, True, True, False),
+    layers_per_block=1,
+    transformer_layers=(1, 1, 1, 0),
+    num_heads=(2, 2, 2, 2),
+    mid_transformer_layers=1,
+    mid_num_heads=2,
+    cross_attention_dim=48,
+    use_linear_projection=False,
+    norm_num_groups=8,
+)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _resnet(p: dict, x: jnp.ndarray, temb: jnp.ndarray, groups: int) -> jnp.ndarray:
+    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups)), padding=1)
+    t = dense(p["time_emb_proj"], silu(temb))  # [B, C]
+    h = h + t[:, None, None, :].astype(h.dtype)
+    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups)), padding=1)
+    if "conv_shortcut" in p:
+        x = conv2d(p["conv_shortcut"], x, padding="VALID")
+    return x + h
+
+
+def _transformer_block(
+    p: dict,
+    x: jnp.ndarray,  # [B, L, C]
+    ctx: jnp.ndarray,  # [B, 77, cross_dim]
+    heads: int,
+    capture: bool,
+    use_flash: bool,
+):
+    # self-attention
+    h = layer_norm(p["norm1"], x)
+    q = dense(p["attn1"]["to_q"], h)
+    k = dense(p["attn1"]["to_k"], h)
+    v = dense(p["attn1"]["to_v"], h)
+    attn = self_attention(q, k, v, heads, use_flash=use_flash)
+    x = x + dense(p["attn1"]["to_out.0"], attn)
+
+    # cross-attention (+ optional DAAM score capture)
+    h = layer_norm(p["norm2"], x)
+    q = dense(p["attn2"]["to_q"], h)
+    k = dense(p["attn2"]["to_k"], ctx)
+    v = dense(p["attn2"]["to_v"], ctx)
+    attn, scores = multihead_attention(q, k, v, heads, capture_scores=capture)
+    x = x + dense(p["attn2"]["to_out.0"], attn)
+
+    # GEGLU feed-forward
+    h = layer_norm(p["norm3"], x)
+    h = dense(p["ff.net.0.proj"], h)
+    a, b = jnp.split(h, 2, axis=-1)
+    x = x + dense(p["ff.net.2"], a * gelu(b))
+    return x, scores
+
+
+def _spatial_transformer(
+    p: dict,
+    x: jnp.ndarray,  # NHWC
+    ctx: jnp.ndarray,
+    cfg: UNetConfig,
+    heads: int,
+    name: str,
+    capture: bool,
+    use_flash: bool,
+):
+    """Transformer2DModel: GN -> proj_in -> blocks -> proj_out -> residual."""
+    b, hh, ww, c = x.shape
+    residual = x
+    h = group_norm(p["norm"], x, cfg.norm_num_groups)
+    scores_out = {}
+    if cfg.use_linear_projection:
+        h = h.reshape(b, hh * ww, c)
+        h = dense(p["proj_in"], h)
+    else:
+        h = conv2d(p["proj_in"], h, padding="VALID")
+        h = h.reshape(b, hh * ww, c)
+    for i, bp in enumerate(p["transformer_blocks"]):
+        h, scores = _transformer_block(bp, h, ctx, heads, capture, use_flash)
+        if scores is not None:
+            scores_out[f"{name}.transformer_blocks.{i}.attn2"] = scores
+    if cfg.use_linear_projection:
+        h = dense(p["proj_out"], h)
+        h = h.reshape(b, hh, ww, c)
+    else:
+        h = h.reshape(b, hh, ww, c)
+        h = conv2d(p["proj_out"], h, padding="VALID")
+    return residual + h, scores_out
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def unet_forward(
+    params: dict,
+    latents: jnp.ndarray,  # [B, H, W, 4]
+    timesteps: jnp.ndarray,  # [B] int32/float32
+    encoder_hidden_states: jnp.ndarray,  # [B, 77, cross_dim]
+    cfg: UNetConfig,
+    added_cond: Optional[dict] = None,  # {"text_embeds": [B,1280], "time_ids": [B,6]}
+    capture_attn: bool = False,
+    use_flash: bool = True,
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Predict noise. Returns (eps_pred [B,H,W,4], attn_scores dict).
+
+    attn_scores is non-empty only with capture_attn=True and contains the
+    head-summed scaled QK^T logits of every down/up-block cross-attention
+    (the reference's DAAM probe covers down/up blocks only,
+    ti_cross_attn_loss.py:88-112).
+    """
+    ctx = encoder_hidden_states
+    groups = cfg.norm_num_groups
+
+    # --- time (+ SDXL text_time) embedding, fp32 ---
+    t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+    temb = dense(params["time_embedding"]["linear_2"], silu(dense(params["time_embedding"]["linear_1"], t_emb)))
+    if cfg.addition_embed_dim is not None:
+        assert added_cond is not None, "SDXL UNet needs added_cond text_embeds/time_ids"
+        time_ids = added_cond["time_ids"].reshape(-1)  # [B*6]
+        add_t = timestep_embedding(time_ids, cfg.addition_embed_dim)
+        add_t = add_t.reshape(temb.shape[0], -1)  # [B, 6*256]
+        add_emb = jnp.concatenate(
+            [added_cond["text_embeds"].astype(add_t.dtype), add_t], axis=-1
+        )  # [B, 2816]
+        add_emb = dense(
+            params["add_embedding"]["linear_2"], silu(dense(params["add_embedding"]["linear_1"], add_emb))
+        )
+        temb = temb + add_emb
+    temb = temb.astype(latents.dtype)
+
+    maybe_remat = jax.checkpoint if remat else (lambda f, **kw: f)
+
+    x = conv2d(params["conv_in"], latents, padding=1)
+    skips = [x]
+    attn_scores: Dict[str, jnp.ndarray] = {}
+
+    # --- down ---
+    for i, ch in enumerate(cfg.block_out_channels):
+        bp = params["down_blocks"][i]
+        has_attn = cfg.cross_attention[i]
+
+        for j in range(cfg.layers_per_block):
+            layer_params = {"resnet": bp["resnets"][j]}
+            if has_attn:
+                layer_params["attention"] = bp["attentions"][j]
+
+            def down_layer(
+                layer_params, x, temb, ctx, i=i, has_attn=has_attn,
+                name=f"down_blocks.{i}.attentions.{j}",
+            ):
+                scores = {}
+                x = _resnet(layer_params["resnet"], x, temb, groups)
+                if has_attn:
+                    x, scores = _spatial_transformer(
+                        layer_params["attention"], x, ctx, cfg, cfg.num_heads[i],
+                        name, capture_attn, use_flash,
+                    )
+                return x, scores
+
+            x, scores = maybe_remat(down_layer)(layer_params, x, temb, ctx)
+            attn_scores.update(scores)
+            skips.append(x)
+        if "downsamplers" in bp:
+            x = conv2d(bp["downsamplers"][0]["conv"], x, stride=2, padding=1)
+            skips.append(x)
+
+    # --- mid ---
+    mid = params["mid_block"]
+
+    def mid_fn(mid, x, temb, ctx):
+        scores = {}
+        x = _resnet(mid["resnets"][0], x, temb, groups)
+        if "attentions" in mid:
+            x, scores = _spatial_transformer(
+                mid["attentions"][0],
+                x,
+                ctx,
+                cfg,
+                cfg.mid_num_heads,
+                "mid_block.attentions.0",
+                False,  # the reference's DAAM probe skips the mid block
+                use_flash,
+            )
+        x = _resnet(mid["resnets"][1], x, temb, groups)
+        return x, scores
+
+    x, _ = maybe_remat(mid_fn)(mid, x, temb, ctx)
+
+    # --- up ---
+    rev_channels = list(reversed(cfg.block_out_channels))
+    for i in range(len(cfg.block_out_channels)):
+        level = len(cfg.block_out_channels) - 1 - i  # original down level index
+        bp = params["up_blocks"][i]
+        has_attn = cfg.cross_attention[level]
+
+        for j in range(cfg.layers_per_block + 1):
+            layer_params = {"resnet": bp["resnets"][j]}
+            if has_attn:
+                layer_params["attention"] = bp["attentions"][j]
+
+            def up_layer(
+                layer_params, x, skip, temb, ctx, level=level, has_attn=has_attn,
+                name=f"up_blocks.{i}.attentions.{j}",
+            ):
+                scores = {}
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = _resnet(layer_params["resnet"], x, temb, groups)
+                if has_attn:
+                    x, scores = _spatial_transformer(
+                        layer_params["attention"], x, ctx, cfg, cfg.num_heads[level],
+                        name, capture_attn, use_flash,
+                    )
+                return x, scores
+
+            x, scores = maybe_remat(up_layer)(layer_params, x, skips.pop(), temb, ctx)
+            attn_scores.update(scores)
+        if "upsamplers" in bp:
+            x = upsample_nearest_2x(x)
+            x = conv2d(bp["upsamplers"][0]["conv"], x, padding=1)
+
+    x = conv2d(params["conv_out"], silu(group_norm(params["conv_norm_out"], x, groups)), padding=1)
+    return x, attn_scores
+
+
+# ---------------------------------------------------------------------------
+# Init (tests / synthetic checkpoints / bench)
+# ---------------------------------------------------------------------------
+
+
+def init_unet_params(key: jax.Array, cfg: UNetConfig, dtype=jnp.bfloat16) -> dict:
+    """Random-init a UNet param tree with the exact structure conversion
+    produces (used by tests and the throughput bench)."""
+    key_iter = iter(jax.random.split(key, 20000))
+
+    def lin(cin, cout, std=0.02):
+        return {
+            "kernel": jax.random.normal(next(key_iter), (cin, cout), dtype) * std,
+            "bias": jnp.zeros((cout,), dtype),
+        }
+
+    def lin_nobias(cin, cout, std=0.02):
+        return {"kernel": jax.random.normal(next(key_iter), (cin, cout), dtype) * std}
+
+    def conv(cin, cout, k=3, std=0.02):
+        return {
+            "kernel": jax.random.normal(next(key_iter), (k, k, cin, cout), dtype) * std,
+            "bias": jnp.zeros((cout,), dtype),
+        }
+
+    def gn(c):
+        return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+    def ln(c):
+        return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+    ted = cfg.time_embed_dim
+
+    def resnet(cin, cout):
+        p = {
+            "norm1": gn(cin),
+            "conv1": conv(cin, cout),
+            "time_emb_proj": lin(ted, cout),
+            "norm2": gn(cout),
+            "conv2": conv(cout, cout),
+        }
+        if cin != cout:
+            p["conv_shortcut"] = conv(cin, cout, 1)
+        return p
+
+    def tblock(c):
+        return {
+            "norm1": ln(c),
+            "attn1": {
+                "to_q": lin_nobias(c, c),
+                "to_k": lin_nobias(c, c),
+                "to_v": lin_nobias(c, c),
+                "to_out.0": lin(c, c),
+            },
+            "norm2": ln(c),
+            "attn2": {
+                "to_q": lin_nobias(c, c),
+                "to_k": lin_nobias(cfg.cross_attention_dim, c),
+                "to_v": lin_nobias(cfg.cross_attention_dim, c),
+                "to_out.0": lin(c, c),
+            },
+            "norm3": ln(c),
+            "ff.net.0.proj": lin(c, c * 8),
+            "ff.net.2": lin(c * 4, c),
+        }
+
+    def transformer(c, depth):
+        p = {
+            "norm": gn(c),
+            "transformer_blocks": [tblock(c) for _ in range(depth)],
+        }
+        if cfg.use_linear_projection:
+            p["proj_in"] = lin(c, c)
+            p["proj_out"] = lin(c, c)
+        else:
+            p["proj_in"] = conv(c, c, 1)
+            p["proj_out"] = conv(c, c, 1)
+        return p
+
+    ch = cfg.block_out_channels
+    down_blocks = []
+    cin = ch[0]
+    for i, cout in enumerate(ch):
+        block = {"resnets": []}
+        if cfg.cross_attention[i]:
+            block["attentions"] = []
+        c = cin
+        for _ in range(cfg.layers_per_block):
+            block["resnets"].append(resnet(c, cout))
+            if cfg.cross_attention[i]:
+                block["attentions"].append(transformer(cout, cfg.transformer_layers[i]))
+            c = cout
+        if i < len(ch) - 1:
+            block["downsamplers"] = [{"conv": conv(cout, cout)}]
+        down_blocks.append(block)
+        cin = cout
+
+    mid_c = ch[-1]
+    mid_block = {
+        "resnets": [resnet(mid_c, mid_c), resnet(mid_c, mid_c)],
+        "attentions": [transformer(mid_c, cfg.mid_transformer_layers)],
+    }
+
+    # up blocks: channel bookkeeping mirrors diffusers — skip channels come
+    # from the down path in reverse order.
+    down_skip_channels = [ch[0]]
+    for i, cout in enumerate(ch):
+        down_skip_channels += [cout] * cfg.layers_per_block
+        if i < len(ch) - 1:
+            down_skip_channels.append(cout)
+
+    up_blocks = []
+    rev = list(reversed(ch))
+    prev_out = mid_c
+    for i, cout in enumerate(rev):
+        level = len(ch) - 1 - i
+        block = {"resnets": []}
+        if cfg.cross_attention[level]:
+            block["attentions"] = []
+        for _ in range(cfg.layers_per_block + 1):
+            skip_c = down_skip_channels.pop()
+            block["resnets"].append(resnet(prev_out + skip_c, cout))
+            if cfg.cross_attention[level]:
+                block["attentions"].append(transformer(cout, cfg.transformer_layers[level]))
+            prev_out = cout
+        if i < len(rev) - 1:
+            block["upsamplers"] = [{"conv": conv(cout, cout)}]
+        up_blocks.append(block)
+
+    params = {
+        "conv_in": conv(cfg.in_channels, ch[0]),
+        "time_embedding": {"linear_1": lin(ch[0], ted), "linear_2": lin(ted, ted)},
+        "down_blocks": down_blocks,
+        "mid_block": mid_block,
+        "up_blocks": up_blocks,
+        "conv_norm_out": gn(ch[0]),
+        "conv_out": conv(ch[0], cfg.out_channels),
+    }
+    if cfg.addition_embed_dim is not None:
+        params["add_embedding"] = {
+            "linear_1": lin(cfg.addition_input_dim, ted),
+            "linear_2": lin(ted, ted),
+        }
+    return params

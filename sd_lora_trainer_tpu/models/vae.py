@@ -1,0 +1,214 @@
+"""AutoencoderKL (the SD VAE) in functional JAX, NHWC.
+
+The reference uses diffusers' AutoencoderKL for one-time latent caching
+(trainer/dataset.py:157 encodes every training image once, caching the latent
+*distribution* and re-sampling per epoch) and for decoding validation renders
+(via the pipeline). Both paths are implemented here; latent layout is NHWC
+[B, H/8, W/8, 4].
+
+Param tree mirrors diffusers module names (encoder.down_blocks.N.resnets.M...)
+so single-file-checkpoint conversion and tests can address leaves by the same
+paths the ecosystem uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sd_lora_trainer_tpu.models.layers import (
+    conv2d,
+    group_norm,
+    silu,
+    upsample_nearest_2x,
+)
+from sd_lora_trainer_tpu.ops.attention import multihead_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215  # 0.13025 for the SDXL VAE
+    sample_channels: int = 3
+
+
+SD15_VAE_CONFIG = VAEConfig(scaling_factor=0.18215)
+SDXL_VAE_CONFIG = VAEConfig(scaling_factor=0.13025)
+
+
+def _resnet(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups)), padding=1)
+    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups)), padding=1)
+    if "conv_shortcut" in p:
+        x = conv2d(p["conv_shortcut"], x, padding="VALID")
+    return x + h
+
+
+def _attn_block(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Single-head spatial self-attention (the VAE mid-block attention)."""
+    b, h, w, c = x.shape
+    hidden = group_norm(p["group_norm"], x, groups).reshape(b, h * w, c)
+    q = hidden @ p["to_q"]["kernel"].astype(hidden.dtype) + p["to_q"]["bias"].astype(hidden.dtype)
+    k = hidden @ p["to_k"]["kernel"].astype(hidden.dtype) + p["to_k"]["bias"].astype(hidden.dtype)
+    v = hidden @ p["to_v"]["kernel"].astype(hidden.dtype) + p["to_v"]["bias"].astype(hidden.dtype)
+    out, _ = multihead_attention(q, k, v, heads=1)
+    out = out @ p["to_out"]["kernel"].astype(out.dtype) + p["to_out"]["bias"].astype(out.dtype)
+    return x + out.reshape(b, h, w, c)
+
+
+def vae_encode(params: dict, images: jnp.ndarray, cfg: VAEConfig = SD15_VAE_CONFIG):
+    """images NHWC in [-1, 1] -> (mean, logvar) each [B, H/8, W/8, 4].
+
+    Matches dataset-init latent caching (reference: trainer/dataset.py:139-179):
+    the caller stores (mean, logvar) and samples fresh latents per epoch.
+    """
+    enc = params["encoder"]
+    g = cfg.norm_num_groups
+    x = conv2d(enc["conv_in"], images, padding=1)
+    for i, block in enumerate(enc["down_blocks"]):
+        for rp in block["resnets"]:
+            x = _resnet(rp, x, g)
+        if "downsamplers" in block:
+            # diffusers pads (0,1)x(0,1) then convs stride 2 with VALID
+            x = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
+            x = conv2d(block["downsamplers"][0]["conv"], x, stride=2, padding="VALID")
+    mid = enc["mid_block"]
+    x = _resnet(mid["resnets"][0], x, g)
+    x = _attn_block(mid["attentions"][0], x, g)
+    x = _resnet(mid["resnets"][1], x, g)
+    x = conv2d(enc["conv_out"], silu(group_norm(enc["conv_norm_out"], x, g)), padding=1)
+    moments = conv2d(params["quant_conv"], x, padding="VALID")
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    return mean, logvar
+
+
+def vae_sample(mean: jnp.ndarray, logvar: jnp.ndarray, key: jax.Array, scaling_factor: float):
+    """Sample a latent from the cached distribution and apply the SD scale
+    (reference: trainer/dataset.py:181-193 re-samples per epoch)."""
+    std = jnp.exp(0.5 * logvar)
+    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    return (mean + std * eps) * scaling_factor
+
+
+def vae_decode(params: dict, latents: jnp.ndarray, cfg: VAEConfig = SD15_VAE_CONFIG):
+    """Scaled latents [B,h,w,4] -> images NHWC in [-1,1]."""
+    dec = params["decoder"]
+    g = cfg.norm_num_groups
+    z = latents / cfg.scaling_factor
+    z = conv2d(params["post_quant_conv"], z, padding="VALID")
+    x = conv2d(dec["conv_in"], z, padding=1)
+    mid = dec["mid_block"]
+    x = _resnet(mid["resnets"][0], x, g)
+    x = _attn_block(mid["attentions"][0], x, g)
+    x = _resnet(mid["resnets"][1], x, g)
+    for block in dec["up_blocks"]:
+        for rp in block["resnets"]:
+            x = _resnet(rp, x, g)
+        if "upsamplers" in block:
+            x = upsample_nearest_2x(x)
+            x = conv2d(block["upsamplers"][0]["conv"], x, padding=1)
+    x = conv2d(dec["conv_out"], silu(group_norm(dec["conv_norm_out"], x, g)), padding=1)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests / synthetic checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def init_vae_params(key: jax.Array, cfg: VAEConfig = SD15_VAE_CONFIG, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 4096))
+
+    def conv(cin, cout, kh=3, kw=3, std=0.02):
+        return {
+            "kernel": jax.random.normal(next(keys), (kh, kw, cin, cout), dtype) * std,
+            "bias": jnp.zeros((cout,), dtype),
+        }
+
+    def gn(c):
+        return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+    def lin(cin, cout):
+        return {
+            "kernel": jax.random.normal(next(keys), (cin, cout), dtype) * 0.02,
+            "bias": jnp.zeros((cout,), dtype),
+        }
+
+    def resnet(cin, cout):
+        p = {"norm1": gn(cin), "conv1": conv(cin, cout), "norm2": gn(cout), "conv2": conv(cout, cout)}
+        if cin != cout:
+            p["conv_shortcut"] = conv(cin, cout, 1, 1)
+        return p
+
+    def attn(c):
+        return {
+            "group_norm": gn(c),
+            "to_q": lin(c, c),
+            "to_k": lin(c, c),
+            "to_v": lin(c, c),
+            "to_out": lin(c, c),
+        }
+
+    ch = cfg.block_out_channels
+    # encoder
+    down_blocks = []
+    cin = ch[0]
+    for i, cout in enumerate(ch):
+        resnets = []
+        c = cin
+        for _ in range(cfg.layers_per_block):
+            resnets.append(resnet(c, cout))
+            c = cout
+        block = {"resnets": resnets}
+        if i < len(ch) - 1:
+            block["downsamplers"] = [{"conv": conv(cout, cout)}]
+        down_blocks.append(block)
+        cin = cout
+    encoder = {
+        "conv_in": conv(cfg.sample_channels, ch[0]),
+        "down_blocks": down_blocks,
+        "mid_block": {
+            "resnets": [resnet(ch[-1], ch[-1]), resnet(ch[-1], ch[-1])],
+            "attentions": [attn(ch[-1])],
+        },
+        "conv_norm_out": gn(ch[-1]),
+        "conv_out": conv(ch[-1], 2 * cfg.latent_channels),
+    }
+    # decoder
+    rev = list(reversed(ch))
+    up_blocks = []
+    cin = rev[0]
+    for i, cout in enumerate(rev):
+        resnets = []
+        c = cin
+        for _ in range(cfg.layers_per_block + 1):
+            resnets.append(resnet(c, cout))
+            c = cout
+        block = {"resnets": resnets}
+        if i < len(rev) - 1:
+            block["upsamplers"] = [{"conv": conv(cout, cout)}]
+        up_blocks.append(block)
+        cin = cout
+    decoder = {
+        "conv_in": conv(cfg.latent_channels, rev[0]),
+        "mid_block": {
+            "resnets": [resnet(rev[0], rev[0]), resnet(rev[0], rev[0])],
+            "attentions": [attn(rev[0])],
+        },
+        "up_blocks": up_blocks,
+        "conv_norm_out": gn(rev[-1]),
+        "conv_out": conv(rev[-1], cfg.sample_channels),
+    }
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        "quant_conv": conv(2 * cfg.latent_channels, 2 * cfg.latent_channels, 1, 1),
+        "post_quant_conv": conv(cfg.latent_channels, cfg.latent_channels, 1, 1),
+    }

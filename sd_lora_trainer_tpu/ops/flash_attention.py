@@ -1,0 +1,93 @@
+"""Flash attention for the UNet's big self-attention blocks.
+
+At 1024px SDXL the top self-attention runs at 4096 image tokens; materializing
+[B, heads, 4096, 4096] logits is HBM-bandwidth waste. This wraps the tiled,
+online-softmax Pallas TPU kernel (jax.experimental.pallas.ops.tpu) with
+SD-specific shape gating + head-dim padding so every UNet level can use it:
+
+- SD15 head dims are 40/80/160 — zero-padding Q/K to a lane-aligned head dim
+  leaves QK^T unchanged, and zero-padding V just adds zero output columns we
+  slice off. `sm_scale` always uses the *original* head dim.
+- sequence lengths below 256 (the UNet's deepest levels) fall back to einsum
+  attention in the caller; the tiny logits tensors there are cheap.
+
+On CPU (tests) the kernel is unavailable, so `flash_attention_qualifies`
+returns False unless we're on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def flash_attention_qualifies(q_shape, k_shape, heads: int) -> bool:
+    """Gate: TPU backend, seq lengths tile-able, self-attention-sized KV."""
+    if not _on_tpu():
+        return False
+    b, lq, d = q_shape
+    _, lk, _ = k_shape
+    head_dim = d // heads
+    if head_dim > 256:
+        return False
+    # both sequence dims must tile at >= 128
+    return lq % 128 == 0 and lk % 128 == 0 and lq >= 256 and lk >= 256
+
+
+def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """[B, L, D] multihead flash attention via the Pallas TPU kernel."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    head_dim = d // heads
+    sm_scale = 1.0 / (head_dim**0.5)
+
+    def split(x, l):
+        return x.reshape(b, l, heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
+
+    # Pad head_dim to a lane-aligned size; zero columns do not change QK^T and
+    # produce zero output columns which we slice away.
+    padded = _round_up(head_dim, 128)
+    if padded != head_dim:
+        pad = [(0, 0), (0, 0), (0, 0), (0, padded - head_dim)]
+        qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
+
+    blk_q = min(512, lq)
+    blk_k = min(512, lk)
+    block_sizes = BlockSizes(
+        block_q=blk_q,
+        block_k_major=blk_k,
+        block_k=blk_k,
+        block_b=1,
+        block_q_major_dkv=blk_q,
+        block_k_major_dkv=blk_k,
+        block_k_dkv=blk_k,
+        block_q_dkv=blk_q,
+        block_k_major_dq=blk_k,
+        block_k_dq=blk_k,
+        block_q_dq=blk_q,
+    )
+    out = flash_attention(qh, kh, vh, causal=False, sm_scale=sm_scale, block_sizes=block_sizes)
+    if padded != head_dim:
+        out = out[..., :head_dim]
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, heads * head_dim)
