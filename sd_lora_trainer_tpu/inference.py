@@ -1,0 +1,299 @@
+"""Validation rendering and from-disk inference.
+
+TPU counterpart of trainer/inference.py: Euler-discrete sampling with
+trailing spacing, CFG 8, the reference's fixed negative prompt, the
+`prepare_prompt_for_lora` token-replacement policy (inference.py:40-127), and
+token-scale condition blending (`blend_conditions`, inference.py:180-227)
+where the trained-token prompt and a token-free "zero" prompt are encoded
+separately and lerped by token_scale = lora_scale**0.4 rescaled to [0.5, 1].
+
+Adapters are *merged* into the weights at the requested lora_scale before
+sampling (models/lora.py merge_lora) — the equivalent of the reference's
+set_adapter_scales — so the sampling loop runs the plain jitted UNet.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sd_lora_trainer_tpu.diffusion.schedulers import DDPMSchedule, EulerDiscreteSampler
+from sd_lora_trainer_tpu.models.clip import CLIPTextConfig, clip_text_forward
+from sd_lora_trainer_tpu.models.lora import merge_lora
+from sd_lora_trainer_tpu.models.unet import UNetConfig, unet_forward
+from sd_lora_trainer_tpu.models.vae import VAEConfig, vae_decode
+from sd_lora_trainer_tpu.utils.utils import fix_prompt, replace_in_string
+from sd_lora_trainer_tpu.utils.val_prompts import val_prompts
+
+NEGATIVE_PROMPT = (
+    "nude, naked, poorly drawn face, ugly, tiling, out of frame, extra limbs, "
+    "disfigured, deformed body, blurry, blurred, watermark, text, grainy, "
+    "signature, cut off, draft"
+)
+
+
+@dataclasses.dataclass
+class InferencePipeline:
+    """Everything needed to render: params + tokenizers + configs."""
+
+    version: str
+    unet_params: dict
+    unet_config: UNetConfig
+    te1_params: dict
+    te1_config: CLIPTextConfig
+    te2_params: Optional[dict]
+    te2_config: Optional[CLIPTextConfig]
+    vae_params: dict
+    vae_config: VAEConfig
+    tokenizer_1: object
+    tokenizer_2: Optional[object]
+    schedule: DDPMSchedule
+    ti_rows: Optional[List[Optional[np.ndarray]]] = None
+
+
+def prepare_prompt_for_lora(
+    prompt: str, lora_path: str, interpolation: bool = False, verbose: bool = False
+) -> str:
+    """Replace <concept>/lora-name with the trigger text and TOK with the
+    trained tokens (reference: trainer/inference.py:40-127)."""
+    if "_no_token" in lora_path:
+        return prompt
+
+    sp_path = os.path.join(lora_path, "special_params.json")
+    if not os.path.exists(sp_path):
+        raise ValueError(
+            "This concept is from an old lora trainer that was deprecated. "
+            "Please retrain your concept for better results!"
+        )
+    token_map = json.load(open(sp_path))
+    training_args = json.load(open(os.path.join(lora_path, "training_args.json")))
+    trigger_text = training_args["training_attributes"]["trigger_text"]
+    lora_name = str(training_args.get("name", "concept"))
+    encapsulated = f"<{lora_name}>"
+    mode = training_args.get("concept_mode", training_args.get("mode", "object"))
+
+    if mode != "style":
+        replacements = {
+            "<concept>": trigger_text,
+            "<concepts>": trigger_text + "'s",
+            encapsulated: trigger_text,
+            encapsulated.lower(): trigger_text,
+            lora_name: trigger_text,
+            lora_name.lower(): trigger_text,
+        }
+        prompt = replace_in_string(prompt, replacements)
+        if trigger_text not in prompt:
+            prompt = trigger_text + ", " + prompt
+    else:
+        style_replacements = {
+            "in the style of <concept>": "in the style of TOK",
+            f"in the style of {encapsulated}": "in the style of TOK",
+            f"in the style of {encapsulated.lower()}": "in the style of TOK",
+            f"in the style of {lora_name}": "in the style of TOK",
+            f"in the style of {lora_name.lower()}": "in the style of TOK",
+        }
+        prompt = replace_in_string(prompt, style_replacements)
+        if "in the style of TOK" not in prompt:
+            prompt = "in the style of TOK, " + prompt
+
+    prompt = replace_in_string(prompt, {"<concept>": "TOK", encapsulated: "TOK"})
+    if interpolation and mode != "style":
+        prompt = "TOK, " + prompt
+    prompt = replace_in_string(prompt, token_map)
+    prompt = fix_prompt(prompt)
+    if verbose:
+        print(f"Adjusted prompt for LoRA: {prompt}")
+    return prompt
+
+
+def compute_token_scale(lora_scale: float, power: float = 0.4, min_scale: float = 0.5) -> float:
+    """token_scale = min + (1-min) * lora_scale**power (inference.py:180-205)."""
+    return min_scale + (1.0 - min_scale) * (lora_scale**power)
+
+
+def _encode(pipe: InferencePipeline, prompts: List[str], resolution: Tuple[int, int]):
+    """Encode a prompt batch -> (prompt_embeds, pooled, add_time_ids)."""
+    ti1 = pipe.ti_rows[0] if pipe.ti_rows else None
+    ids1 = jnp.asarray(pipe.tokenizer_1(prompts), jnp.int32)
+    o1 = clip_text_forward(
+        pipe.te1_params, ids1, pipe.te1_config,
+        ti_embeddings=jnp.asarray(ti1) if ti1 is not None else None,
+        dtype=jnp.float32,
+    )
+    if pipe.version == "sd15":
+        return o1["last"], None, None
+    ti2 = pipe.ti_rows[1] if pipe.ti_rows and len(pipe.ti_rows) > 1 else None
+    ids2 = jnp.asarray(pipe.tokenizer_2(prompts), jnp.int32)
+    o2 = clip_text_forward(
+        pipe.te2_params, ids2, pipe.te2_config,
+        ti_embeddings=jnp.asarray(ti2) if ti2 is not None else None,
+        dtype=jnp.float32,
+    )
+    embeds = jnp.concatenate([o1["penultimate"], o2["penultimate"]], axis=-1)
+    w, h = resolution
+    add_time_ids = jnp.tile(
+        jnp.asarray([[1024, 1024, 0, 0, h, w]], jnp.float32), (len(prompts), 1)
+    )
+    return embeds, o2["pooled"], add_time_ids
+
+
+def encode_prompt_advanced(
+    pipe: InferencePipeline,
+    lora_path: Optional[str],
+    prompt: str,
+    negative_prompt: str,
+    lora_scale: float,
+    resolution: Tuple[int, int],
+    token_scale: Optional[float] = None,
+    concept_mode: Optional[str] = None,
+):
+    """Blend trained-token and token-free conditionings
+    (reference: trainer/inference.py:230-286)."""
+    if lora_path and token_scale != 0:
+        lora_prompt = prepare_prompt_for_lora(prompt, lora_path)
+    else:
+        lora_prompt = prompt
+    replace_str = {"face": "person", "object": "object"}.get(concept_mode, "")
+    zero_prompt = fix_prompt(prompt.replace("<concept>", replace_str))
+
+    c2, pc2, add_ids = _encode(pipe, [lora_prompt], resolution)
+    c1, pc1, _ = _encode(pipe, [zero_prompt], resolution)
+    uc, puc, _ = _encode(pipe, [negative_prompt], resolution)
+
+    if token_scale is None:
+        token_scale = compute_token_scale(lora_scale)
+    c = (1 - token_scale) * c1 + token_scale * c2
+    pc = None if pc1 is None else (1 - token_scale) * pc1 + token_scale * pc2
+    return c, uc, pc, puc, add_ids
+
+
+@partial(jax.jit, static_argnames=("pipe_static", "num_inference_steps", "guidance_scale"))
+def _sample(
+    pipe_static,
+    unet_params,
+    latents,
+    c,
+    uc,
+    pc,
+    puc,
+    add_ids,
+    num_inference_steps,
+    guidance_scale,
+):
+    """Jitted CFG Euler sampling loop + VAE decode."""
+    unet_config, version, schedule_tuple = pipe_static
+    schedule = DDPMSchedule.create()
+    sampler = EulerDiscreteSampler(schedule)
+    sigmas, timesteps = sampler.sigmas_and_timesteps(num_inference_steps)
+    x = latents * sampler.init_noise_sigma(num_inference_steps).astype(latents.dtype)
+
+    ctx = jnp.concatenate([uc, c], axis=0)
+    if version == "sdxl":
+        added = {
+            "text_embeds": jnp.concatenate([puc, pc], axis=0),
+            "time_ids": jnp.concatenate([add_ids, add_ids], axis=0),
+        }
+    else:
+        added = None
+
+    def body(x, inp):
+        sigma, sigma_next, t = inp
+        x_in = sampler.scale_model_input(x, sigma)
+        both = jnp.concatenate([x_in, x_in], axis=0)
+        eps, _ = unet_forward(
+            unet_params,
+            both,
+            jnp.full((both.shape[0],), t),
+            ctx,
+            unet_config,
+            added_cond=added,
+            capture_attn=False,
+            use_flash=False,
+            remat=False,
+        )
+        eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+        eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+        x = sampler.step(eps, sigma, sigma_next, x)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (sigmas[:-1], sigmas[1:], timesteps))
+    return x
+
+
+def render_images(
+    pipe: InferencePipeline,
+    render_size: Tuple[int, int],
+    lora_path: str,
+    train_step: int,
+    seed: int,
+    lora_scale: float = 0.75,
+    disable_ti: bool = False,
+    prompt_modifier: Optional[str] = None,
+    n_steps: int = 25,
+    n_imgs: int = 4,
+    unet_lora: Optional[dict] = None,
+    te_loras: Optional[List[Optional[dict]]] = None,
+) -> List[str]:
+    """Render validation images (reference: trainer/inference.py:290-407).
+
+    Adapters (if given) are merged at lora_scale; prompt selection follows the
+    reference policy (first prompt is ""/"<concept>" per mode)."""
+    random.seed(seed)
+    training_args = json.load(open(os.path.join(lora_path, "training_args.json")))
+    concept_mode = training_args["concept_mode"]
+
+    bank = val_prompts[concept_mode]
+    prompts = random.sample(bank, min(n_imgs, len(bank)))
+    while len(prompts) < n_imgs:
+        prompts.append(random.choice(bank))
+    prompts[0] = "" if concept_mode == "style" else "<concept>"
+    if prompt_modifier:
+        prompts = [prompt_modifier.format(p) for p in prompts]
+
+    # merge adapters at the requested scale
+    unet_params = pipe.unet_params
+    if unet_lora is not None:
+        unet_params = merge_lora(unet_params, unet_lora, scale=lora_scale)
+    te1_params, te2_params = pipe.te1_params, pipe.te2_params
+    if te_loras:
+        if te_loras[0] is not None:
+            te1_params = merge_lora(te1_params, te_loras[0], scale=lora_scale)
+        if len(te_loras) > 1 and te_loras[1] is not None and te2_params is not None:
+            te2_params = merge_lora(te2_params, te_loras[1], scale=lora_scale)
+    pipe = dataclasses.replace(pipe, unet_params=unet_params, te1_params=te1_params, te2_params=te2_params)
+
+    w, h = int(render_size[0]), int(render_size[1])
+    factor = 2 ** (len(pipe.vae_config.block_out_channels) - 1)
+    lw, lh = w // factor, h // factor
+
+    key = jax.random.PRNGKey(seed)
+    decode = jax.jit(lambda z: vae_decode(pipe.vae_params, z, pipe.vae_config))
+    pipe_static = (pipe.unet_config, pipe.version, None)
+
+    for i, prompt in enumerate(prompts):
+        c, uc, pc, puc, add_ids = encode_prompt_advanced(
+            pipe, lora_path, prompt, NEGATIVE_PROMPT, lora_scale, (w, h),
+            token_scale=0 if disable_ti else None, concept_mode=concept_mode,
+        )
+        key, sub = jax.random.split(key)
+        latents = jax.random.normal(sub, (1, lh, lw, 4), jnp.float32)
+        z = _sample(
+            pipe_static, pipe.unet_params, latents, c, uc, pc, puc, add_ids,
+            n_steps, 8.0,
+        )
+        img = decode(z)
+        arr = np.asarray((jnp.clip(img[0], -1, 1) + 1) * 127.5).astype(np.uint8)
+        from PIL import Image
+
+        Image.fromarray(arr).save(
+            os.path.join(lora_path, f"img_{train_step:04d}_{i}.jpg"), quality=95
+        )
+    return prompts

@@ -1,0 +1,395 @@
+"""The training orchestrator: `train(config) -> generator`.
+
+Mirrors the reference's public entry (trainer/main.py:34-551): loads the base
+checkpoint, runs dataset preprocessing once, initializes TI tokens + adapters
++ the three-group optimizer, then drives the epoch/step loop — yielding
+progress floats for front-ends (cog/ComfyUI consume the generator,
+predict.py:156-163, node.py:101-111) and returning (config, output_dir).
+
+The hot loop is ONE jitted step (training/step.py). The host side of each
+iteration is only: batch index selection, caption dropout, tokenization, and
+DAAM caption analysis — everything tensor-shaped happens on device.
+
+Note on step accounting: `max_train_steps` counts optimizer steps; with
+gradient_accumulation_steps=N each step consumes N micro-batches (the
+reference counts micro-batches and steps on boundaries, main.py:362-382 —
+identical behavior at the default N=1).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sd_lora_trainer_tpu.checkpoint import save_checkpoint, save_train_state
+from sd_lora_trainer_tpu.config import TrainingConfig, model_paths
+from sd_lora_trainer_tpu.data.dataset import LatentDataset
+from sd_lora_trainer_tpu.data.io import make_validation_img_grid
+from sd_lora_trainer_tpu.data.preprocess import preprocess
+from sd_lora_trainer_tpu.diffusion.losses import DistributionLossTargets
+from sd_lora_trainer_tpu.diffusion.schedulers import DDPMSchedule
+from sd_lora_trainer_tpu.inference import InferencePipeline, render_images
+from sd_lora_trainer_tpu.models.lora import (
+    TEXT_ENCODER_TARGETS,
+    UNET_TARGETS,
+    create_lora_params,
+)
+from sd_lora_trainer_tpu.models.tokenizer import (
+    CLIPTokenizer,
+    build_sized_test_vocab,
+    load_tokenizer,
+)
+from sd_lora_trainer_tpu.models.weights import LoadedModels, load_models_from_checkpoint
+from sd_lora_trainer_tpu.training.embeddings import TokenEmbeddingsHandler
+from sd_lora_trainer_tpu.training.optimizers import build_optimizer
+from sd_lora_trainer_tpu.training.step import (
+    FrozenModels,
+    StepConfig,
+    TrainState,
+    make_train_step,
+)
+from sd_lora_trainer_tpu.utils.utils import dtype_map, seed_everything
+
+
+def build_tokenizers(loaded: LoadedModels):
+    """Real CLIP vocab from model_paths["CLIP"] when staged; otherwise a
+    sized synthetic vocab matching the encoders' embedding tables (offline /
+    synthetic-checkpoint runs)."""
+    vocab_dir = os.path.join(model_paths.get_path("CLIP") or ".", "tokenizer")
+    test_words = ["photo", "style", "painting", "portrait", "object", "person", "the", "of", "a"]
+
+    def make(cfg, pad_token_id=None):
+        if cfg is None:
+            return None
+        if os.path.exists(os.path.join(vocab_dir, "vocab.json")):
+            tok = load_tokenizer(vocab_dir, pad_token_id=pad_token_id)
+            if len(tok.encoder) == cfg.vocab_size:
+                return tok
+            print(
+                f"[tokenizer] staged vocab size {len(tok.encoder)} != model vocab "
+                f"{cfg.vocab_size}; falling back to synthetic vocab"
+            )
+        vocab, merges = build_sized_test_vocab(cfg.vocab_size, extra_words=test_words)
+        return CLIPTokenizer(vocab, merges, pad_token_id=pad_token_id)
+
+    tok1 = make(loaded.text_encoder_config)
+    tok2 = make(loaded.text_encoder_2_config, pad_token_id=0)
+    return tok1, tok2
+
+
+def download_weights_if_needed(pretrained_model: dict) -> str:
+    path = pretrained_model["path"]
+    if not os.path.exists(path) and pretrained_model.get("url"):
+        from sd_lora_trainer_tpu.data.io import download
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        print(f"downloading {pretrained_model['url']} -> {path}")
+        download(pretrained_model["url"], os.path.dirname(path) or ".", filepath=path)
+    return path
+
+
+def train(config: TrainingConfig):
+    seed_everything(config.seed)
+    weight_dtype = dtype_map[config.weight_type]
+
+    # ---- models (reference main.py:38-48) ----
+    ckpt_path = download_weights_if_needed(config.pretrained_model)
+    loaded = load_models_from_checkpoint(ckpt_path, dtype=weight_dtype)
+    config.sd_model_version = loaded.version
+    config.pretrained_model["version"] = loaded.version
+
+    if not config.sample_imgs_lora_scale:
+        config.sample_imgs_lora_scale = 0.75 if loaded.version == "sdxl" else 0.85
+    if not config.validation_img_size:
+        config.validation_img_size = 1024 if loaded.version == "sdxl" else 768
+
+    # ---- preprocessing (one-shot host pipeline) ----
+    config, input_dir = preprocess(
+        config,
+        working_directory=config.output_dir,
+        concept_mode=config.concept_mode,
+        input_zip_path=config.lora_training_urls,
+        caption_text=config.caption_prefix,
+        mask_target_prompts=config.mask_target_prompts,
+        target_size=config.resolution,
+        crop_based_on_salience=config.crop_based_on_salience,
+        use_face_detection_instead=config.use_face_detection_instead,
+        left_right_flip_augmentation=config.left_right_flip_augmentation,
+        augment_imgs_up_to_n=config.augment_imgs_up_to_n,
+        caption_model=config.caption_model,
+        seed=config.seed,
+    )
+
+    # ---- tokenizers + TI rows ----
+    tok1, tok2 = build_tokenizers(loaded)
+    handler = TokenEmbeddingsHandler(tokenizers=[tok1, tok2])
+    tables = [
+        loaded.text_encoder["text_model"]["embeddings"]["token_embedding"]["weight"],
+        loaded.text_encoder_2["text_model"]["embeddings"]["token_embedding"]["weight"]
+        if loaded.text_encoder_2
+        else None,
+    ]
+    key = jax.random.PRNGKey(config.seed)
+    ti_rows = handler.initialize_new_tokens(tables, config.inserting_list_tokens, key)
+
+    # ---- trainable tree + optimizer ----
+    trainable: Dict = {}
+    k_unet, k_te = jax.random.split(jax.random.fold_in(key, 1))
+    if config.is_lora:
+        trainable["unet"] = create_lora_params(
+            k_unet,
+            loaded.unet,
+            rank=config.lora_rank,
+            alpha_multiplier=config.lora_alpha_multiplier,
+            targets=UNET_TARGETS,
+            use_dora=config.use_dora,
+        )
+    else:
+        print("Doing full fine-tuning on the U-Net")
+        trainable["unet"] = loaded.unet
+    if not config.disable_ti:
+        ti_group = {"te1": ti_rows[0]}
+        if ti_rows[1] is not None:
+            ti_group["te2"] = ti_rows[1]
+        trainable["ti"] = ti_group
+    if config.text_encoder_lora_optimizer is not None and config.is_lora:
+        te_lora = {}
+        te_lora["te1"] = create_lora_params(
+            k_te, loaded.text_encoder, rank=config.text_encoder_lora_rank,
+            alpha_multiplier=config.lora_alpha_multiplier,
+            targets=TEXT_ENCODER_TARGETS, use_dora=config.use_dora,
+        )
+        if loaded.text_encoder_2 is not None:
+            te_lora["te2"] = create_lora_params(
+                jax.random.fold_in(k_te, 1), loaded.text_encoder_2,
+                rank=config.text_encoder_lora_rank,
+                alpha_multiplier=config.lora_alpha_multiplier,
+                targets=TEXT_ENCODER_TARGETS, use_dora=config.use_dora,
+            )
+        trainable["te_lora"] = te_lora
+
+    optimizer = build_optimizer(config, trainable)
+
+    # ---- dataset: one-time VAE latent caching ----
+    train_dataset = LatentDataset.from_directory(
+        input_dir,
+        loaded.vae,
+        loaded.vae_config,
+        size=tuple(config.train_img_size),
+        substitute_caption_map=config.token_dict,
+        aspect_ratio_bucketing=config.aspect_ratio_bucketing,
+        train_batch_size=config.train_batch_size,
+        seed=config.seed,
+    )
+    print(f"Final training captions:\n{train_dataset.captions[:40]}")
+
+    n_batches_per_epoch = max(len(train_dataset) // config.train_batch_size, 1)
+    config.num_train_epochs = int(
+        math.ceil(config.max_train_steps * config.gradient_accumulation_steps / n_batches_per_epoch)
+    )
+
+    # ---- frozen bundle + jitted step ----
+    dist_targets = {"te1": handler.distribution_targets[0]} if 0 in handler.distribution_targets else {}
+    if 1 in handler.distribution_targets:
+        dist_targets["te2"] = handler.distribution_targets[1]
+    schedule = DDPMSchedule.create()
+    frozen = FrozenModels(
+        unet_params=loaded.unet,
+        unet_config=loaded.unet_config,
+        te1_params=loaded.text_encoder,
+        te1_config=loaded.text_encoder_config,
+        te2_params=loaded.text_encoder_2,
+        te2_config=loaded.text_encoder_2_config,
+        schedule=schedule,
+        version=loaded.version,
+        resolution=tuple(config.train_img_size),
+        distribution_targets=dist_targets,
+    )
+    img_ratio = config.train_img_size[0] / config.train_img_size[1]
+    sc = StepConfig.from_config(config, img_ratio)
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        import dataclasses as _dc
+
+        sc = _dc.replace(sc, use_flash=False)
+    step_fn = jax.jit(make_train_step(frozen, sc, optimizer), donate_argnums=(0,))
+
+    state = TrainState(
+        step=jnp.asarray(0),
+        trainable=trainable,
+        opt_state=optimizer.init(trainable),
+        key=jax.random.fold_in(key, 2),
+    )
+
+    checkpoint_dir = os.path.join(str(config.output_dir), "checkpoints")
+    if os.path.exists(checkpoint_dir):
+        shutil.rmtree(checkpoint_dir)
+    os.makedirs(checkpoint_dir)
+
+    losses: Dict[str, List[float]] = {}
+    rng = np.random.RandomState(config.seed)
+    start_time, images_done = time.time(), 0
+    global_step, last_save_step = 0, 0
+    accum = config.gradient_accumulation_steps
+    token_string = config.token_dict["TOK"]
+
+    def assemble_batch() -> Dict[str, np.ndarray]:
+        """Host-side batch prep: sampling, caption dropout, tokenization,
+        DAAM caption analysis; stacks [accum, B, ...]."""
+        micro = []
+        for _ in range(accum):
+            if config.aspect_ratio_bucketing:
+                data, _res = train_dataset.bucketed_batch()
+            else:
+                idx = rng.choice(len(train_dataset), size=config.train_batch_size, replace=len(train_dataset) < config.train_batch_size)
+                data = train_dataset.batch(list(idx))
+            captions = list(data["captions"])
+            if config.caption_dropout > 0.0:
+                captions = [
+                    token_string if rng.rand() < config.caption_dropout else c
+                    for c in captions
+                ]
+            ids1 = np.asarray(tok1(captions), np.int32)
+            ids2 = np.asarray(tok2(captions), np.int32) if tok2 else ids1
+            lengths, positions = [], []
+            for c in captions:
+                n, pos = handler.ti_token_positions(c)
+                lengths.append(n)
+                positions.append(pos)
+            micro.append(
+                {
+                    "latent_mean": data["latent_mean"],
+                    "latent_logvar": data["latent_logvar"],
+                    "mask": data["mask"],
+                    "input_ids": ids1,
+                    "input_ids_2": ids2,
+                    "caption_token_lengths": np.asarray(lengths, np.int32),
+                    "ti_token_positions": np.asarray(positions, np.int32),
+                }
+            )
+        batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+        batch["latent_scale"] = np.float32(train_dataset.vae_scaling_factor)
+        return batch
+
+    def current_adapters():
+        unet_lora = state.trainable.get("unet") if config.is_lora else None
+        te_loras = [None, None]
+        if "te_lora" in state.trainable:
+            te_loras[0] = state.trainable["te_lora"].get("te1")
+            te_loras[1] = state.trainable["te_lora"].get("te2")
+        ti = state.trainable.get("ti", {})
+        rows = [np.asarray(ti["te1"]) if "te1" in ti else None,
+                np.asarray(ti["te2"]) if "te2" in ti else None]
+        return unet_lora, te_loras, rows
+
+    def do_checkpoint(output_save_dir):
+        os.makedirs(output_save_dir, exist_ok=True)
+        config.save_as_json(os.path.join(output_save_dir, "training_args.json"))
+        unet_lora, te_loras, rows = current_adapters()
+        save_checkpoint(
+            output_dir=output_save_dir,
+            global_step=global_step,
+            name=config.name,
+            pretrained_model_version=config.pretrained_model["version"],
+            token_dict=config.token_dict,
+            is_lora=config.is_lora,
+            ti_rows=rows,
+            unet_lora=unet_lora,
+            te_loras=te_loras,
+            unet_params=None if config.is_lora else state.trainable["unet"],
+            unet_config=None if config.is_lora else loaded.unet_config,
+        )
+        if config.save_train_state:
+            save_train_state(os.path.join(output_save_dir, "train_state"), state)
+
+    def do_render(output_save_dir):
+        unet_lora, te_loras, rows = current_adapters()
+        pipe = InferencePipeline(
+            version=loaded.version,
+            unet_params=loaded.unet,
+            unet_config=loaded.unet_config,
+            te1_params=loaded.text_encoder,
+            te1_config=loaded.text_encoder_config,
+            te2_params=loaded.text_encoder_2,
+            te2_config=loaded.text_encoder_2_config,
+            vae_params=loaded.vae,
+            vae_config=loaded.vae_config,
+            tokenizer_1=tok1,
+            tokenizer_2=tok2,
+            schedule=schedule,
+            ti_rows=rows,
+        )
+        prompts = render_images(
+            pipe,
+            render_size=tuple(int(v) for v in (config.validation_img_size if isinstance(config.validation_img_size, (list, tuple)) else [config.validation_img_size] * 2)),
+            lora_path=output_save_dir,
+            train_step=global_step,
+            seed=config.seed,
+            lora_scale=config.sample_imgs_lora_scale,
+            disable_ti=config.disable_ti,
+            prompt_modifier=config.prompt_modifier,
+            n_imgs=config.n_sample_imgs,
+            unet_lora=unet_lora if config.is_lora else None,
+            te_loras=te_loras,
+        )
+        grid_path = make_validation_img_grid(output_save_dir)
+        shutil.copy(
+            grid_path,
+            os.path.join(os.path.dirname(output_save_dir), f"validation_grid_{global_step:04d}.jpg"),
+        )
+        return prompts
+
+    validation_prompts: List[str] = []
+    progress_stride = max(config.max_train_steps // 100, 1)
+
+    while global_step < config.max_train_steps:
+        batch = assemble_batch()
+        state, metrics = step_fn(state, batch)
+        global_step += 1
+        images_done += config.train_batch_size * accum
+
+        for k, v in metrics.items():
+            losses.setdefault(k, []).append(float(v))
+
+        if global_step % config.checkpointing_steps == 0 and global_step < (
+            config.max_train_steps - 25
+        ):
+            fps = images_done / (time.time() - start_time)
+            print(f"\n---- avg training fps: {fps:.2f}", flush=True)
+            output_save_dir = f"{checkpoint_dir}/checkpoint-{global_step}"
+            do_checkpoint(output_save_dir)
+            validation_prompts = do_render(output_save_dir)
+            last_save_step = global_step
+
+        if global_step % progress_stride == 0:
+            yield min(global_step / config.max_train_steps + 0.05, 1.0)
+
+    # ---- final save (reference main.py:466-547) ----
+    if (global_step - last_save_step) > 26 or last_save_step == 0:
+        output_save_dir = f"{checkpoint_dir}/checkpoint-{global_step}"
+    else:
+        output_save_dir = f"{checkpoint_dir}/checkpoint-{last_save_step}"
+
+    if not os.path.exists(output_save_dir):
+        do_checkpoint(output_save_dir)
+        validation_prompts = do_render(output_save_dir)
+    else:
+        print(f"Skipping final save, {output_save_dir} already exists")
+
+    config.job_time = time.time() - config.start_time
+    config.training_attributes["validation_prompts"] = validation_prompts
+    config.training_attributes["final_losses"] = {
+        k: v[-5:] for k, v in losses.items()
+    }
+    config.save_as_json(os.path.join(output_save_dir, "training_args.json"))
+    print("Training job complete, saving outputs...", flush=True)
+
+    return config, output_save_dir

@@ -282,7 +282,8 @@ def load_kohya_state_dict(
         path = target_map[flat]
         down = entry["lora_down.weight"]
         up = entry["lora_up.weight"]
-        alpha = float(entry.get("alpha", down.shape[0]))
+        alpha_raw = entry.get("alpha", down.shape[0])
+        alpha = float(np.asarray(alpha_raw).reshape(-1)[0])
         if down.ndim == 2:
             a = jnp.asarray(down.T)  # (in, r)
             b = jnp.asarray(up.T)  # (r, out)

@@ -215,4 +215,19 @@ def synthesize_checkpoint(
         for k, v in export_openclip(clip_g, clip_g_cfg).items():
             sd[CLIP_SDXL_G_PREFIX + k] = v
 
-    save_safetensors(sd, path)
+    # Embed the (non-standard) model configs as safetensors metadata so the
+    # loader can reconstruct tiny topologies without out-of-band info.
+    import json
+
+    metadata = {
+        "sd_lora_trainer_tpu": json.dumps(
+            {
+                "version": version,
+                "unet": dataclasses.asdict(unet_cfg),
+                "vae": dataclasses.asdict(vae_cfg),
+                "clip_l": dataclasses.asdict(clip_l_cfg),
+                "clip_g": dataclasses.asdict(clip_g_cfg) if clip_g_cfg else None,
+            }
+        )
+    }
+    save_safetensors(sd, path, metadata=metadata)

@@ -254,3 +254,45 @@ def build_test_vocab(
     vocab["<|startoftext|>"] = len(vocab)
     vocab["<|endoftext|>"] = len(vocab)
     return vocab, merges
+
+
+def build_sized_test_vocab(
+    size: int, extra_words: Optional[List[str]] = None
+) -> Tuple[Dict[str, int], List[Tuple[str, str]]]:
+    """Synthetic vocab with EXACTLY `size` entries, BOS at size-2 and EOS at
+    size-1 — sized to match a tiny text encoder's embedding table so offline
+    end-to-end runs (synthetic checkpoints) can tokenize real text.
+
+    Covers printable-ASCII byte tokens (plain + `</w>`) and pads the rest with
+    unused filler tokens; unknown characters fall back to EOS at encode time.
+    """
+    ascii_chars = [chr(b) for b in range(ord("!"), ord("~") + 1)]
+    vocab: Dict[str, int] = {}
+    for c in ascii_chars:
+        if len(vocab) < size - 2:
+            vocab[c] = len(vocab)
+    for c in ascii_chars:
+        if len(vocab) < size - 2:
+            vocab[c + "</w>"] = len(vocab)
+    merges: List[Tuple[str, str]] = []
+    for word in extra_words or []:
+        if len(vocab) >= size - 2:
+            break
+        if len(word) >= 2:
+            acc = word[0]
+            for ch in word[1:-1]:
+                merges.append((acc, ch))
+                acc += ch
+                if len(vocab) < size - 2:
+                    vocab.setdefault(acc, len(vocab))
+            merges.append((acc, word[-1] + "</w>"))
+        if len(vocab) < size - 2:
+            vocab.setdefault(word + "</w>", len(vocab))
+    i = 0
+    while len(vocab) < size - 2:
+        vocab[f"<filler{i}>"] = len(vocab)
+        i += 1
+    vocab["<|startoftext|>"] = size - 2
+    vocab["<|endoftext|>"] = size - 1
+    assert len(vocab) == size
+    return vocab, merges

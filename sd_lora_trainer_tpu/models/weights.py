@@ -71,6 +71,34 @@ def load_checkpoint_file(path: str) -> Dict[str, jnp.ndarray]:
     return tensors
 
 
+def read_embedded_configs(path: str):
+    """Read model configs embedded in safetensors metadata (synthetic / tiny
+    checkpoints written by models/synthesize.py). Returns None for standard
+    SD checkpoints."""
+    import json
+
+    from safetensors import safe_open
+
+    with safe_open(path, framework="flax") as f:
+        metadata = f.metadata() or {}
+    raw = metadata.get("sd_lora_trainer_tpu")
+    if not raw:
+        return None
+    data = json.loads(raw)
+    for key in ("unet", "vae", "clip_l", "clip_g"):
+        if data.get(key):
+            for k, v in list(data[key].items()):
+                if isinstance(v, list):
+                    data[key][k] = tuple(v)
+    return {
+        "version": data["version"],
+        "unet": UNetConfig(**data["unet"]),
+        "vae": VAEConfig(**data["vae"]),
+        "clip_l": CLIPTextConfig(**data["clip_l"]),
+        "clip_g": CLIPTextConfig(**data["clip_g"]) if data.get("clip_g") else None,
+    }
+
+
 def load_models_from_checkpoint(
     path: str,
     dtype=jnp.bfloat16,
@@ -82,8 +110,15 @@ def load_models_from_checkpoint(
     """The TPU equivalent of reference load_models() (trainer/models.py:7-54).
 
     Config overrides exist for tiny synthetic checkpoints (tests / offline
-    development); default None means the standard SD15/SDXL topologies.
+    development); default None means the standard SD15/SDXL topologies, or
+    the configs embedded in the checkpoint's metadata if present.
     """
+    embedded = read_embedded_configs(path)
+    if embedded is not None:
+        unet_config = unet_config or embedded["unet"]
+        vae_config = vae_config or embedded["vae"]
+        clip_l_config = clip_l_config or embedded["clip_l"]
+        clip_g_config = clip_g_config or embedded["clip_g"]
     sd = load_checkpoint_file(path)
     version = detect_version(sd.keys())
     if version == "sdxl":

@@ -18,7 +18,12 @@ def save_safetensors(
 ) -> None:
     from safetensors.numpy import save_file
 
-    contiguous = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
+    # NB: np.ascontiguousarray promotes 0-d scalars to 1-d; kohya alpha
+    # tensors must stay 0-d, so preserve ndim explicitly.
+    contiguous = {
+        k: np.ascontiguousarray(v) if np.ndim(v) > 0 else np.asarray(v)
+        for k, v in tensors.items()
+    }
     save_file(contiguous, path, metadata=metadata)
 
 
