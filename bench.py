@@ -1,0 +1,153 @@
+"""Throughput benchmark: SDXL LoRA training imgs/sec/chip @1024px.
+
+Runs the REAL jitted train step (training/step.py) — text-encoder forwards
+(CLIP-L + CLIP-G with TI rows), full-size SDXL UNet forward/backward through
+LoRA adapters with DAAM attention capture, all four loss terms, and the
+three-group optimizer update — on randomly-initialized full-size weights
+(throughput does not depend on weight values) with cached-latent batches,
+exactly the shape of a real training iteration.
+
+Baseline: the reference's published A100-class anchor is 6.0 imgs/s at bs=4
+(predict.py:117-123, resolution unstated, config-default 512px; we bench at
+1024px — 4x the pixels — and still compare against that number).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BS", "4"))
+    resolution = int(os.environ.get("BENCH_RES", "1024"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    latent = resolution // 8
+
+    from sd_lora_trainer_tpu.config import TrainingConfig
+    from sd_lora_trainer_tpu.diffusion.losses import DistributionLossTargets
+    from sd_lora_trainer_tpu.diffusion.schedulers import DDPMSchedule
+    from sd_lora_trainer_tpu.models.clip import (
+        CLIP_BIG_G_CONFIG,
+        CLIP_L_CONFIG,
+        init_clip_params,
+    )
+    from sd_lora_trainer_tpu.models.lora import UNET_TARGETS, create_lora_params
+    from sd_lora_trainer_tpu.models.unet import SDXL_UNET_CONFIG, init_unet_params
+    from sd_lora_trainer_tpu.training.optimizers import build_optimizer
+    from sd_lora_trainer_tpu.training.step import (
+        FrozenModels,
+        StepConfig,
+        TrainState,
+        make_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    print(f"[bench] devices: {jax.devices()}", flush=True)
+    print(f"[bench] initializing full-size SDXL stack (bs={batch_size}, {resolution}px)...", flush=True)
+
+    unet = init_unet_params(ks[0], SDXL_UNET_CONFIG, dtype=jnp.bfloat16)
+    te1 = init_clip_params(ks[1], CLIP_L_CONFIG, dtype=jnp.bfloat16)
+    te2 = init_clip_params(ks[2], CLIP_BIG_G_CONFIG, dtype=jnp.bfloat16)
+    t1 = te1["text_model"]["embeddings"]["token_embedding"]["weight"]
+    t2 = te2["text_model"]["embeddings"]["token_embedding"]["weight"]
+
+    frozen = FrozenModels(
+        unet_params=unet,
+        unet_config=SDXL_UNET_CONFIG,
+        te1_params=te1,
+        te1_config=CLIP_L_CONFIG,
+        te2_params=te2,
+        te2_config=CLIP_BIG_G_CONFIG,
+        schedule=DDPMSchedule.create(),
+        version="sdxl",
+        resolution=(resolution, resolution),
+        distribution_targets={
+            "te1": DistributionLossTargets.from_embeddings(t1),
+            "te2": DistributionLossTargets.from_embeddings(t2),
+        },
+    )
+
+    config = TrainingConfig(
+        lora_training_urls="bench",
+        concept_mode="style",
+        sd_model_version="sdxl",
+        max_train_steps=400,
+        lora_rank=16,
+        train_batch_size=batch_size,
+        resolution=resolution,
+        _testing_no_output_dir=True,
+    )
+
+    trainable = {
+        "unet": create_lora_params(ks[3], unet, rank=16, targets=UNET_TARGETS),
+        "ti": {
+            "te1": jax.random.normal(ks[4], (3, 768)) * 0.01,
+            "te2": jax.random.normal(ks[5], (3, 1280)) * 0.01,
+        },
+    }
+    optimizer = build_optimizer(config, trainable)
+    sc = StepConfig.from_config(config, 1.0)
+
+    state = TrainState(
+        step=jnp.asarray(0),
+        trainable=trainable,
+        opt_state=optimizer.init(trainable),
+        key=jax.random.PRNGKey(1),
+    )
+    step_fn = jax.jit(make_train_step(frozen, sc, optimizer), donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    ids = np.full((1, batch_size, 77), 49407, np.int32)
+    ids[..., 0] = 49406
+    ids[..., 1:10] = rng.randint(320, 49000, size=(1, batch_size, 9))
+    ids[..., 3:6] = [49408, 49409, 49410]
+    batch = {
+        "latent_mean": jnp.asarray(rng.randn(1, batch_size, latent, latent, 4), jnp.bfloat16),
+        "latent_logvar": jnp.full((1, batch_size, latent, latent, 4), -6.0, jnp.bfloat16),
+        "mask": jnp.ones((1, batch_size, latent, latent, 1), jnp.bfloat16),
+        "input_ids": jnp.asarray(ids),
+        "input_ids_2": jnp.asarray(ids),
+        "caption_token_lengths": jnp.full((1, batch_size), 12, jnp.int32),
+        "ti_token_positions": jnp.tile(jnp.asarray([[3, 4, 5]]), (1, batch_size, 1)),
+        "latent_scale": jnp.float32(0.13025),
+    }
+
+    print("[bench] compiling + warmup...", flush=True)
+    t0 = time.time()
+    state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["tot_loss"])
+    print(f"[bench] first step (compile) took {time.time() - t0:.1f}s", flush=True)
+    # one more warmup step post-compile
+    state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["tot_loss"])
+
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["tot_loss"])
+    dt = time.time() - t0
+
+    imgs_per_sec = batch_size * n_steps / dt
+    baseline = 6.0  # A100-class, bs=4 (reference predict.py:121)
+    print(f"[bench] {n_steps} steps in {dt:.2f}s -> {imgs_per_sec:.2f} imgs/s", flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": f"sdxl_lora_train_imgs_per_sec_chip_{resolution}px_bs{batch_size}",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/s",
+                "vs_baseline": round(imgs_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

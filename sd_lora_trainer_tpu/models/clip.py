@@ -90,7 +90,10 @@ def clip_text_forward(
     table = tm["embeddings"]["token_embedding"]["weight"]
     if ti_embeddings is not None:
         table = jnp.concatenate([table, ti_embeddings.astype(table.dtype)], axis=0)
-    x = jnp.take(table, input_ids, axis=0).astype(dtype)
+    # mode="clip": jnp.take's default fill mode writes NaN for out-of-range
+    # ids (e.g. TI token ids when ti_embeddings is not attached); clipping
+    # keeps the forward well-defined under jit.
+    x = jnp.take(table, input_ids, axis=0, mode="clip").astype(dtype)
     pos = tm["embeddings"]["position_embedding"]["weight"][: input_ids.shape[1]]
     x = x + pos.astype(dtype)
 
