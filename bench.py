@@ -51,10 +51,15 @@ def main():
     ks = jax.random.split(key, 8)
     print(f"[bench] devices: {jax.devices()}", flush=True)
     print(f"[bench] initializing full-size SDXL stack (bs={batch_size}, {resolution}px)...", flush=True)
+    _t_init = time.time()
 
-    unet = init_unet_params(ks[0], SDXL_UNET_CONFIG, dtype=jnp.bfloat16)
-    te1 = init_clip_params(ks[1], CLIP_L_CONFIG, dtype=jnp.bfloat16)
-    te2 = init_clip_params(ks[2], CLIP_BIG_G_CONFIG, dtype=jnp.bfloat16)
+    # Jit the inits: eager per-leaf init would issue thousands of tiny device
+    # ops (catastrophic over a remote TPU tunnel); one compiled program each.
+    unet = jax.jit(lambda k: init_unet_params(k, SDXL_UNET_CONFIG, dtype=jnp.bfloat16))(ks[0])
+    te1 = jax.jit(lambda k: init_clip_params(k, CLIP_L_CONFIG, dtype=jnp.bfloat16))(ks[1])
+    te2 = jax.jit(lambda k: init_clip_params(k, CLIP_BIG_G_CONFIG, dtype=jnp.bfloat16))(ks[2])
+    jax.block_until_ready(unet)
+    print(f"[bench] init done in {time.time() - _t_init:.1f}s", flush=True)
     t1 = te1["text_model"]["embeddings"]["token_embedding"]["weight"]
     t2 = te2["text_model"]["embeddings"]["token_embedding"]["weight"]
 
@@ -85,20 +90,22 @@ def main():
         _testing_no_output_dir=True,
     )
 
-    trainable = {
-        "unet": create_lora_params(ks[3], unet, rank=16, targets=UNET_TARGETS),
-        "ti": {
-            "te1": jax.random.normal(ks[4], (3, 768)) * 0.01,
-            "te2": jax.random.normal(ks[5], (3, 1280)) * 0.01,
-        },
-    }
+    trainable = jax.jit(
+        lambda k3, k4, k5: {
+            "unet": create_lora_params(k3, unet, rank=16, targets=UNET_TARGETS),
+            "ti": {
+                "te1": jax.random.normal(k4, (3, 768)) * 0.01,
+                "te2": jax.random.normal(k5, (3, 1280)) * 0.01,
+            },
+        }
+    )(ks[3], ks[4], ks[5])
     optimizer = build_optimizer(config, trainable)
     sc = StepConfig.from_config(config, 1.0)
 
     state = TrainState(
         step=jnp.asarray(0),
         trainable=trainable,
-        opt_state=optimizer.init(trainable),
+        opt_state=jax.jit(optimizer.init)(trainable),
         key=jax.random.PRNGKey(1),
     )
     step_fn = jax.jit(make_train_step(frozen, sc, optimizer), donate_argnums=(0,))
