@@ -103,12 +103,12 @@ def main():
     sc = StepConfig.from_config(config, 1.0)
 
     state = TrainState(
-        step=jnp.asarray(0),
+        step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles
         trainable=trainable,
         opt_state=jax.jit(optimizer.init)(trainable),
         key=jax.random.PRNGKey(1),
     )
-    step_fn = jax.jit(make_train_step(frozen, sc, optimizer), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(sc, optimizer), donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
     ids = np.full((1, batch_size, 77), 49407, np.int32)
@@ -128,16 +128,18 @@ def main():
 
     print("[bench] compiling + warmup...", flush=True)
     t0 = time.time()
-    state, metrics = step_fn(state, batch)
+    state, metrics = step_fn(state, batch, frozen)
     jax.block_until_ready(metrics["tot_loss"])
     print(f"[bench] first step (compile) took {time.time() - t0:.1f}s", flush=True)
-    # one more warmup step post-compile
-    state, metrics = step_fn(state, batch)
+    # one more warmup step post-compile (also catches silent recompiles)
+    t0 = time.time()
+    state, metrics = step_fn(state, batch, frozen)
     jax.block_until_ready(metrics["tot_loss"])
+    print(f"[bench] second step took {time.time() - t0:.2f}s", flush=True)
 
     t0 = time.time()
     for _ in range(n_steps):
-        state, metrics = step_fn(state, batch)
+        state, metrics = step_fn(state, batch, frozen)
     jax.block_until_ready(metrics["tot_loss"])
     dt = time.time() - t0
 

@@ -140,6 +140,39 @@ def train(config: TrainingConfig):
     key = jax.random.PRNGKey(config.seed)
     ti_rows = handler.initialize_new_tokens(tables, config.inserting_list_tokens, key)
 
+    # ---- optional TI warmup against the GPT concept description
+    # (reference: embedding_handler.pre_optimize_token_embeddings) ----
+    gpt_description = config.training_attributes.get("gpt_description")
+    if config.token_warmup_steps > 0 and not config.disable_ti and gpt_description:
+        from sd_lora_trainer_tpu.training.token_warmup import warmup_token_embeddings
+
+        print(f"Warming up token embeddings with prompt: {gpt_description}...")
+        te_params = {"te1": loaded.text_encoder}
+        te_configs = {"te1": loaded.text_encoder_config}
+        rows = {"te1": ti_rows[0]}
+        token_ids = {"te1": jnp.asarray(tok1([config.token_dict["TOK"]]), jnp.int32)}
+        target_ids = {"te1": jnp.asarray(tok1([gpt_description]), jnp.int32)}
+        dist = {"te1": handler.distribution_targets[0]}
+        if loaded.text_encoder_2 is not None:
+            te_params["te2"] = loaded.text_encoder_2
+            te_configs["te2"] = loaded.text_encoder_2_config
+            rows["te2"] = ti_rows[1]
+            token_ids["te2"] = jnp.asarray(tok2([config.token_dict["TOK"]]), jnp.int32)
+            target_ids["te2"] = jnp.asarray(tok2([gpt_description]), jnp.int32)
+            dist["te2"] = handler.distribution_targets[1]
+        rows, warmup_losses = warmup_token_embeddings(
+            rows, te_params, te_configs, loaded.version, token_ids, target_ids, dist,
+            steps=config.token_warmup_steps, ti_lr=config.ti_lr,
+            ti_weight_decay=config.ti_weight_decay, tok_cov_reg_w=config.tok_cov_reg_w,
+        )
+        ti_rows[0] = rows["te1"]
+        if "te2" in rows:
+            ti_rows[1] = rows["te2"]
+        if config.debug and warmup_losses:
+            from sd_lora_trainer_tpu.utils.plots import plot_loss
+
+            plot_loss(warmup_losses, os.path.join(config.output_dir, "token_warmup_loss.png"))
+
     # ---- trainable tree + optimizer ----
     trainable: Dict = {}
     k_unet, k_te = jax.random.split(jax.random.fold_in(key, 1))
@@ -220,10 +253,10 @@ def train(config: TrainingConfig):
         import dataclasses as _dc
 
         sc = _dc.replace(sc, use_flash=False)
-    step_fn = jax.jit(make_train_step(frozen, sc, optimizer), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(sc, optimizer), donate_argnums=(0,))
 
     state = TrainState(
-        step=jnp.asarray(0),
+        step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles
         trainable=trainable,
         opt_state=optimizer.init(trainable),
         key=jax.random.fold_in(key, 2),
@@ -349,15 +382,67 @@ def train(config: TrainingConfig):
 
     validation_prompts: List[str] = []
     progress_stride = max(config.max_train_steps // 100, 1)
+    lr_history: Dict[str, List[float]] = {}
+    token_stds: Dict[str, List[float]] = {}
+
+    def write_debug_plots():
+        """Loss / LR / grad-norm / token-std PNGs (reference main.py:422-431)."""
+        from sd_lora_trainer_tpu.utils.plots import (
+            plot_grad_norms,
+            plot_loss,
+            plot_lrs,
+            plot_param_histogram,
+            plot_token_stds,
+        )
+
+        plot_loss(
+            {k: v for k, v in losses.items() if k != "grad_norm"},
+            os.path.join(config.output_dir, "losses.png"),
+        )
+        plot_lrs(lr_history, os.path.join(config.output_dir, "learning_rates.png"))
+        plot_grad_norms(
+            {"total": losses.get("grad_norm", [])},
+            os.path.join(config.output_dir, "grad_norms.png"),
+        )
+        targets = {
+            f"te{i+1}_target": handler.std_token_embedding[i]
+            for i in handler.std_token_embedding
+        }
+        plot_token_stds(
+            token_stds, os.path.join(config.output_dir, "token_stds.png"), targets
+        )
+        if config.is_lora:
+            leaves = [
+                np.asarray(x).ravel()
+                for x in jax.tree.leaves(state.trainable.get("unet", {}))
+            ]
+            if leaves:
+                plot_param_histogram(
+                    np.concatenate(leaves),
+                    os.path.join(config.output_dir, f"lora_weights_{global_step}.png"),
+                )
 
     while global_step < config.max_train_steps:
         batch = assemble_batch()
-        state, metrics = step_fn(state, batch)
+        state, metrics = step_fn(state, batch, frozen)
         global_step += 1
         images_done += config.train_batch_size * accum
 
         for k, v in metrics.items():
             losses.setdefault(k, []).append(float(v))
+
+        if config.debug:
+            # LR + token-std tracking for the debug plots (reference
+            # main.py:385-397 tracks these per step)
+            from sd_lora_trainer_tpu.training.optimizers import current_lrs
+
+            for k, v in current_lrs(config, jnp.asarray(global_step)).items():
+                lr_history.setdefault(k, []).append(float(v))
+            ti = state.trainable.get("ti", {})
+            for which, rows_arr in ti.items():
+                stds = np.asarray(rows_arr).std(axis=1)
+                for i, s in enumerate(stds):
+                    token_stds.setdefault(f"{which}_token_{i}", []).append(float(s))
 
         if global_step % config.checkpointing_steps == 0 and global_step < (
             config.max_train_steps - 25
@@ -366,6 +451,8 @@ def train(config: TrainingConfig):
             print(f"\n---- avg training fps: {fps:.2f}", flush=True)
             output_save_dir = f"{checkpoint_dir}/checkpoint-{global_step}"
             do_checkpoint(output_save_dir)
+            if config.debug:
+                write_debug_plots()
             validation_prompts = do_render(output_save_dir)
             last_save_step = global_step
 
@@ -380,6 +467,8 @@ def train(config: TrainingConfig):
 
     if not os.path.exists(output_save_dir):
         do_checkpoint(output_save_dir)
+        if config.debug:
+            write_debug_plots()
         validation_prompts = do_render(output_save_dir)
     else:
         print(f"Skipping final save, {output_save_dir} already exists")

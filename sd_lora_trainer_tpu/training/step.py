@@ -56,20 +56,24 @@ class TrainState:
     key: jax.Array
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FrozenModels:
-    """Non-trainable model bundle closed over by the step function."""
+    """Non-trainable model bundle, passed as a pytree ARGUMENT to the jitted
+    step. (Closing over multi-GB device arrays would embed them as literal
+    constants in the lowered HLO — pathological for compile memory/time,
+    especially with remote compilation.) Configs are static pytree metadata."""
 
     unet_params: Any
-    unet_config: UNetConfig
     te1_params: Any
-    te1_config: CLIPTextConfig
     te2_params: Any  # None for sd15
-    te2_config: Optional[CLIPTextConfig]
     schedule: DDPMSchedule
-    version: str  # "sd15" | "sdxl"
-    resolution: Tuple[int, int]  # (W, H) of training images
     distribution_targets: Dict[str, DistributionLossTargets]  # "te1"/"te2"
+    unet_config: UNetConfig = dataclasses.field(metadata=dict(static=True))
+    te1_config: CLIPTextConfig = dataclasses.field(metadata=dict(static=True))
+    te2_config: Optional[CLIPTextConfig] = dataclasses.field(metadata=dict(static=True))
+    version: str = dataclasses.field(metadata=dict(static=True))  # "sd15" | "sdxl"
+    resolution: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))  # (W, H)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -275,18 +279,19 @@ def _iter_lora_mats(tree, path=()):
 
 
 def make_train_step(
-    frozen: FrozenModels,
     sc: StepConfig,
     optimizer: optax.GradientTransformation,
 ):
-    """Build the jitted (state, batch) -> (state, metrics) function.
+    """Build the jitted (state, batch, frozen) -> (state, metrics) function.
 
     `batch` arrays carry a leading [accum] dim; accumulation runs as a scan
     with loss averaged over micro-batches, exactly the reference's
-    loss/grad_accum + boundary step (main.py:362-382).
+    loss/grad_accum + boundary step (main.py:362-382). `frozen` (the
+    FrozenModels pytree) is a runtime argument so the multi-GB base weights
+    are jit parameters, never baked-in constants.
     """
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], frozen: FrozenModels):
         key = jax.random.fold_in(state.key, state.step)
 
         def micro(i, trainable):

@@ -126,17 +126,17 @@ def test_train_step_updates_only_trainable_and_loss_decreases(setup):
     trainable = _trainable(frozen, config, jax.random.PRNGKey(1))
     optimizer = build_optimizer(config, trainable)
     state = TrainState(
-        step=jnp.asarray(0),
+        step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles
         trainable=trainable,
         opt_state=optimizer.init(trainable),
         key=jax.random.PRNGKey(3),
     )
-    step_fn = jax.jit(make_train_step(frozen, sc, optimizer))
+    step_fn = jax.jit(make_train_step(sc, optimizer))
     batch = _batch()
 
     losses = []
     for _ in range(30):
-        state, metrics = step_fn(state, batch)
+        state, metrics = step_fn(state, batch, frozen)
         losses.append(float(metrics["img_loss"]))
 
     assert int(state.step) == 30
@@ -164,11 +164,11 @@ def test_grad_accumulation_matches_single_large_batch(setup):
 
     batch2 = _batch(accum=2)
     state = TrainState(
-        step=jnp.asarray(0), trainable=trainable,
+        step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles trainable=trainable,
         opt_state=optimizer.init(trainable), key=jax.random.PRNGKey(3),
     )
-    step_fn = jax.jit(make_train_step(frozen, sc, optimizer))
-    state2, metrics2 = step_fn(state, batch2)
+    step_fn = jax.jit(make_train_step(sc, optimizer))
+    state2, metrics2 = step_fn(state, batch2, frozen)
     assert np.isfinite(float(metrics2["tot_loss"]))
     assert np.isfinite(float(metrics2["grad_norm"]))
 
@@ -208,9 +208,9 @@ def test_sd15_path(setup):
     }
     optimizer = build_optimizer(config, trainable)
     state = TrainState(
-        step=jnp.asarray(0), trainable=trainable,
+        step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles trainable=trainable,
         opt_state=optimizer.init(trainable), key=jax.random.PRNGKey(3),
     )
-    step_fn = jax.jit(make_train_step(frozen15, sc, optimizer))
-    state, metrics = step_fn(state, _batch())
+    step_fn = jax.jit(make_train_step(sc, optimizer))
+    state, metrics = step_fn(state, _batch(), frozen15)
     assert np.isfinite(float(metrics["img_loss"]))
