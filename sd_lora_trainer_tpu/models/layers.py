@@ -38,7 +38,9 @@ def _apply_lora_dense(p: dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     lora = p["lora"]
     a = lora["a"].astype(x.dtype)  # (in, r)
     b = lora["b"].astype(x.dtype)  # (r, out)
-    scale = lora["alpha"] / a.shape[-1]
+    alpha = lora["alpha"]
+    alpha = alpha.value if hasattr(alpha, "value") else alpha
+    scale = alpha / a.shape[-1]
     delta = (x @ a) @ b * jnp.asarray(scale, x.dtype)
     if "magnitude" in lora:
         # DoRA (arXiv:2402.09353): W' = m * (W0 + s·BA) / ||W0 + s·BA||_col.
@@ -83,7 +85,9 @@ def conv2d(
         lora = p["lora"]
         a = lora["a"].astype(x.dtype)  # (kh,kw,in,r)
         b = lora["b"].astype(x.dtype)  # (1,1,r,out)
-        scale = jnp.asarray(lora["alpha"] / a.shape[-1], x.dtype)
+        alpha = lora["alpha"]
+        alpha = alpha.value if hasattr(alpha, "value") else alpha
+        scale = jnp.asarray(alpha / a.shape[-1], x.dtype)
         ya = jax.lax.conv_general_dilated(
             x, a, window_strides=(stride, stride), padding=padding, dimension_numbers=dn
         )

@@ -26,6 +26,38 @@ UNET_TARGETS = ("to_q", "to_k", "to_v", "to_out.0", "conv2")
 TEXT_ENCODER_TARGETS = ("q_proj", "k_proj", "v_proj", "out_proj")
 
 
+class LoraAlpha:
+    """Static scalar pytree node (zero leaves).
+
+    The LoRA alpha is a hyperparameter, not a parameter: as a plain float
+    leaf it would (a) receive optimizer updates — AdamW weight decay would
+    silently shrink it — and (b) flip weak->strong dtype after
+    optax.apply_updates, retriggering a full train-step recompile. As static
+    aux data it is hashable jit cache key material instead.
+    """
+
+    def __init__(self, value: float):
+        self.value = float(value)
+
+    def __repr__(self):
+        return f"LoraAlpha({self.value})"
+
+    def __eq__(self, other):
+        return isinstance(other, LoraAlpha) and other.value == self.value
+
+    def __hash__(self):
+        return hash(("LoraAlpha", self.value))
+
+
+jax.tree_util.register_pytree_node(
+    LoraAlpha, lambda s: ((), s.value), lambda value, _: LoraAlpha(value)
+)
+
+
+def alpha_value(alpha) -> float:
+    return alpha.value if isinstance(alpha, LoraAlpha) else float(alpha)
+
+
 def _walk(tree, path=()):
     """Yield (path, leaf_module_dict) for every param dict with a kernel."""
     if isinstance(tree, dict):
@@ -76,7 +108,7 @@ def create_lora_params(
             b = jnp.zeros((1, 1, rank, n_out), dtype)
         else:
             raise ValueError(f"Unsupported kernel ndim at {path}")
-        entry = {"a": a, "b": b, "alpha": alpha}
+        entry = {"a": a, "b": b, "alpha": LoraAlpha(alpha)}
         if use_dora:
             kf = kernel.astype(jnp.float32)
             if kernel.ndim == 4:
@@ -143,7 +175,7 @@ def merge_lora(base_params: dict, lora_params: dict, scale: float = 1.0) -> dict
             kernel = base["kernel"]
             a, b = lora["a"].astype(jnp.float32), lora["b"].astype(jnp.float32)
             rank = a.shape[-1]
-            s = scale * lora["alpha"] / rank
+            s = scale * alpha_value(lora["alpha"]) / rank
             if kernel.ndim == 2:
                 delta = a @ b * s
             else:
@@ -290,7 +322,7 @@ def load_kohya_state_dict(
         else:
             a = jnp.asarray(np.transpose(down, (2, 3, 1, 0)))
             b = jnp.asarray(np.transpose(up, (2, 3, 1, 0)))
-        node = {"a": a, "b": b, "alpha": alpha}
+        node = {"a": a, "b": b, "alpha": LoraAlpha(alpha)}
         if which[0] == "unet":
             _set_path(unet_tree, path, node)
         else:

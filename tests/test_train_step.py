@@ -164,7 +164,7 @@ def test_grad_accumulation_matches_single_large_batch(setup):
 
     batch2 = _batch(accum=2)
     state = TrainState(
-        step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles trainable=trainable,
+        step=jnp.zeros((), jnp.int32), trainable=trainable,
         opt_state=optimizer.init(trainable), key=jax.random.PRNGKey(3),
     )
     step_fn = jax.jit(make_train_step(sc, optimizer))
@@ -208,7 +208,7 @@ def test_sd15_path(setup):
     }
     optimizer = build_optimizer(config, trainable)
     state = TrainState(
-        step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles trainable=trainable,
+        step=jnp.zeros((), jnp.int32), trainable=trainable,
         opt_state=optimizer.init(trainable), key=jax.random.PRNGKey(3),
     )
     step_fn = jax.jit(make_train_step(sc, optimizer))
