@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: the SDXL train step takes minutes to compile;
+# cache hits make driver re-runs and multi-resolution benches cheap.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 
 def main():
     batch_size = int(os.environ.get("BENCH_BS", "4"))
@@ -131,17 +137,23 @@ def main():
     state, metrics = step_fn(state, batch, frozen)
     jax.block_until_ready(metrics["tot_loss"])
     print(f"[bench] first step (compile) took {time.time() - t0:.1f}s", flush=True)
-    # one more warmup step post-compile (also catches silent recompiles)
+    # one more warmup step post-compile (also catches silent recompiles).
+    # Synchronize by FETCHING the loss value — block_until_ready alone has
+    # proven unreliable on the experimental axon platform.
     t0 = time.time()
     state, metrics = step_fn(state, batch, frozen)
-    jax.block_until_ready(metrics["tot_loss"])
-    print(f"[bench] second step took {time.time() - t0:.2f}s", flush=True)
+    loss_val = float(metrics["tot_loss"])
+    print(f"[bench] second step took {time.time() - t0:.2f}s (loss={loss_val:.4f})", flush=True)
 
     t0 = time.time()
-    for _ in range(n_steps):
+    for i in range(n_steps):
         state, metrics = step_fn(state, batch, frozen)
-    jax.block_until_ready(metrics["tot_loss"])
+        if i < 3:
+            print(f"[bench] step {i}: loss={float(metrics['tot_loss']):.4f} "
+                  f"({time.time() - t0:.2f}s cumulative)", flush=True)
+    final_loss = float(metrics["tot_loss"])  # host fetch = hard sync
     dt = time.time() - t0
+    print(f"[bench] final loss: {final_loss:.4f}", flush=True)
 
     imgs_per_sec = batch_size * n_steps / dt
     baseline = 6.0  # A100-class, bs=4 (reference predict.py:121)

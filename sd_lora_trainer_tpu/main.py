@@ -66,19 +66,33 @@ def build_tokenizers(loaded: LoadedModels):
     vocab_dir = os.path.join(model_paths.get_path("CLIP") or ".", "tokenizer")
     test_words = ["photo", "style", "painting", "portrait", "object", "person", "the", "of", "a"]
 
+    from sd_lora_trainer_tpu.models.tokenizer_native import (
+        NativeCLIPTokenizer,
+        native_available,
+    )
+
+    use_native = native_available()
+
+    def build(vocab, merges, pad_token_id):
+        # prefer the C++ tokenizer (csrc/clip_bpe.cpp) — tokenization runs
+        # per step on the host (caption dropout), so it's the hot host path
+        if use_native:
+            return NativeCLIPTokenizer(vocab, merges, pad_token_id=pad_token_id)
+        return CLIPTokenizer(vocab, merges, pad_token_id=pad_token_id)
+
     def make(cfg, pad_token_id=None):
         if cfg is None:
             return None
         if os.path.exists(os.path.join(vocab_dir, "vocab.json")):
             tok = load_tokenizer(vocab_dir, pad_token_id=pad_token_id)
             if len(tok.encoder) == cfg.vocab_size:
-                return tok
+                return build(tok.encoder, [tuple(m) for m in sorted(tok.bpe_ranks, key=tok.bpe_ranks.get)], pad_token_id)
             print(
                 f"[tokenizer] staged vocab size {len(tok.encoder)} != model vocab "
                 f"{cfg.vocab_size}; falling back to synthetic vocab"
             )
         vocab, merges = build_sized_test_vocab(cfg.vocab_size, extra_words=test_words)
-        return CLIPTokenizer(vocab, merges, pad_token_id=pad_token_id)
+        return build(vocab, merges, pad_token_id)
 
     tok1 = make(loaded.text_encoder_config)
     tok2 = make(loaded.text_encoder_2_config, pad_token_id=0)
