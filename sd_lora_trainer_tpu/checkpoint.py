@@ -162,9 +162,11 @@ def restore_train_state(path: str, template_state):
     return TrainState(
         step=jnp.asarray(restored["step"]),
         trainable=restored["trainable"],
-        opt_state=jax.tree.util.tree_unflatten(
-            jax.tree.util.tree_structure(template_state.opt_state),
-            jax.tree.util.tree_leaves(restored["opt_state"]),
+        # orbax restores opt_state as generic containers; rebuild the optax
+        # NamedTuple structure from the template
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template_state.opt_state),
+            jax.tree_util.tree_leaves(restored["opt_state"]),
         ),
         key=jnp.asarray(restored["key"]),
     )
