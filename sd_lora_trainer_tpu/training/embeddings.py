@@ -101,6 +101,42 @@ class TokenEmbeddingsHandler:
                 out[key] = sd[f"text_encoders_{idx}"]
         return out
 
+    # -- diagnostics ---------------------------------------------------------
+
+    @staticmethod
+    def nearest_tokens(
+        rows: jnp.ndarray,  # [n, D] trained TI rows
+        table: jnp.ndarray,  # [V, D] frozen vocab table
+        tokenizer: CLIPTokenizer,
+        k: int = 5,
+    ) -> List[List[str]]:
+        """k nearest vocab tokens (cosine) per trained row — the reference's
+        token-neighbor printout (embedding_handler.py:89-133)."""
+        rowsf = rows.astype(jnp.float32)
+        tablef = table.astype(jnp.float32)
+        rn = rowsf / (jnp.linalg.norm(rowsf, axis=1, keepdims=True) + 1e-8)
+        tn = tablef / (jnp.linalg.norm(tablef, axis=1, keepdims=True) + 1e-8)
+        sims = rn @ tn.T  # [n, V]
+        top = np.asarray(jnp.argsort(-sims, axis=1)[:, :k])
+        decoder = {v: t for t, v in tokenizer.encoder.items()}
+        return [[decoder.get(int(i), "?") for i in row] for row in top]
+
+    def print_token_info(
+        self, ti_rows: List[Optional[jnp.ndarray]], token_tables: List[Optional[jnp.ndarray]]
+    ) -> None:
+        """Std + nearest neighbors per encoder (embedding_handler print_token_info)."""
+        for idx, (rows, table) in enumerate(zip(ti_rows, token_tables)):
+            if rows is None or table is None or self.tokenizers[idx] is None:
+                continue
+            stds = np.asarray(jnp.asarray(rows).astype(jnp.float32).std(axis=1))
+            neighbors = self.nearest_tokens(jnp.asarray(rows), table, self.tokenizers[idx])
+            for i, tok in enumerate(self.inserting_toks):
+                print(
+                    f"  te{idx+1} {tok}: std={stds[i]:.4f} "
+                    f"(target {self.std_token_embedding.get(idx, 0):.4f}) "
+                    f"neighbors={neighbors[i]}"
+                )
+
     # -- caption analysis for the DAAM loss ---------------------------------
 
     def ti_token_positions(self, caption: str, tokenizer_idx: int = 0, max_len: int = 77):
