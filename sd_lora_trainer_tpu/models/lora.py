@@ -76,6 +76,12 @@ def _matches(path: Tuple, targets) -> bool:
     return name in targets
 
 
+# B-LoRA style block presets (reference: trainer/optimizer.py:51-71):
+# restrict adapters to specific attention blocks instead of the whole UNet.
+BLORA_CONTENT_BLOCKS = ("up_blocks.0.attentions.0",)
+BLORA_STYLE_BLOCKS = ("up_blocks.0.attentions.1",)
+
+
 def create_lora_params(
     key: jax.Array,
     base_params: dict,
@@ -84,17 +90,27 @@ def create_lora_params(
     targets=UNET_TARGETS,
     use_dora: bool = False,
     dtype=jnp.float32,
+    target_blocks=None,
 ) -> dict:
     """Build an adapter tree for every matching module.
 
     Gaussian init (peft init_lora_weights="gaussian": A ~ N(0, 1/r), B = 0),
     alpha = rank * alpha_multiplier (reference: trainer/optimizer.py:86-95).
     DoRA adds a "magnitude" vector initialized to the base kernel's column
-    norms.
+    norms. `target_blocks` optionally restricts injection to modules whose
+    dotted path starts with one of the given prefixes (B-LoRA-style targeting,
+    reference: trainer/optimizer.py:51-71).
     """
     alpha = float(rank * alpha_multiplier)
     lora_tree: dict = {}
     leaves = [(p, m) for p, m in _walk(base_params) if _matches(p, targets)]
+    if target_blocks:
+        prefixes = tuple(target_blocks)
+        leaves = [
+            (p, m)
+            for p, m in leaves
+            if ".".join(str(x) for x in p).startswith(prefixes)
+        ]
     keys = jax.random.split(key, max(len(leaves), 1))
     for (path, module), k in zip(leaves, keys):
         kernel = module["kernel"]

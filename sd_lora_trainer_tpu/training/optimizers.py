@@ -99,8 +99,13 @@ def build_unet_optimizer(config: TrainingConfig) -> optax.GradientTransformation
             use_bias_correction=True,
             decouple=True,
         )
-    # "AdamW8bit" maps to adamw — bitsandbytes' int8 state is a CUDA memory
-    # optimization; adapter states here are tiny, full precision is free.
+    if config.unet_optimizer_type == "AdamW8bit":
+        # TPU-native equivalent of bitsandbytes AdamW8bit: block-wise int8
+        # moment quantization inside the jitted step (matters for the
+        # full-finetune path, where fp32 moments cost 20+ GB)
+        from sd_lora_trainer_tpu.training.quantized_adam import adamw8bit
+
+        return adamw8bit(unet_lr_schedule(config), weight_decay=wd)
     return _adamw(unet_lr_schedule(config), wd)
 
 

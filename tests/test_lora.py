@@ -196,3 +196,20 @@ def test_dora_magnitude_init_and_effect():
         inject_lora(params, lora), lat, jnp.array([3]), ctx, cfg, use_flash=False, remat=False
     )
     np.testing.assert_allclose(np.asarray(base_out), np.asarray(out), atol=1e-4)
+
+
+def test_blora_target_blocks_restrict_injection():
+    """B-LoRA style block targeting (reference optimizer.py:51-71): adapters
+    only in the named block prefixes."""
+    cfg, params = _tiny_unet()
+    lora = create_lora_params(
+        jax.random.PRNGKey(1), params, rank=4, targets=UNET_TARGETS,
+        target_blocks=("up_blocks.0",),
+    )
+    from sd_lora_trainer_tpu.models.lora import _lora_leaves
+
+    paths = [p for p, _ in _lora_leaves(lora)]
+    assert paths, "no adapters injected"
+    assert all(p.startswith("up_blocks.0") for p in paths), paths
+    full = create_lora_params(jax.random.PRNGKey(1), params, rank=4, targets=UNET_TARGETS)
+    assert len(paths) < len([p for p, _ in _lora_leaves(full)])
