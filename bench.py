@@ -107,11 +107,18 @@ def main():
     )(ks[3], ks[4], ks[5])
     optimizer = build_optimizer(config, trainable)
     sc = StepConfig.from_config(config, 1.0)
-    if os.environ.get("BENCH_FLASH", "1") == "0":
-        import dataclasses
+    import dataclasses
 
+    if os.environ.get("BENCH_FLASH", "1") == "0":
         sc = dataclasses.replace(sc, use_flash=False)
         print("[bench] flash attention DISABLED (einsum path)", flush=True)
+    remat_mode = os.environ.get("BENCH_REMAT", "full")
+    if remat_mode == "dots":
+        sc = dataclasses.replace(sc, remat="dots")
+        print("[bench] remat policy: dots_with_no_batch_dims_saveable", flush=True)
+    elif remat_mode == "off":
+        sc = dataclasses.replace(sc, remat=False)
+        print("[bench] remat DISABLED", flush=True)
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles

@@ -20,7 +20,7 @@ assignment time, so the compile set is small and can be pre-warmed.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

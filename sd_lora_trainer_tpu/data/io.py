@@ -11,9 +11,8 @@ import os
 import shutil
 import tarfile
 import zipfile
-from typing import List, Optional
+from typing import Optional
 
-import numpy as np
 from PIL import Image, ImageOps
 
 IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")

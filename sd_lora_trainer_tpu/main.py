@@ -23,7 +23,7 @@ import math
 import os
 import shutil
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,6 @@ from sd_lora_trainer_tpu.config import TrainingConfig, model_paths
 from sd_lora_trainer_tpu.data.dataset import LatentDataset
 from sd_lora_trainer_tpu.data.io import make_validation_img_grid
 from sd_lora_trainer_tpu.data.preprocess import preprocess
-from sd_lora_trainer_tpu.diffusion.losses import DistributionLossTargets
 from sd_lora_trainer_tpu.diffusion.schedulers import DDPMSchedule
 from sd_lora_trainer_tpu.inference import InferencePipeline, render_images
 from sd_lora_trainer_tpu.models.lora import (

@@ -14,7 +14,7 @@ lives inside the jitted train step and gradients flow into TI rows / TE LoRA.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 

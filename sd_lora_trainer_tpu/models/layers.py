@@ -22,8 +22,6 @@ Matmuls run in the input dtype (bf16 on TPU) with fp32 accumulation via
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -20,7 +20,6 @@ synthetic vocab for offline tests.
 from __future__ import annotations
 
 import functools
-import gzip
 import json
 import os
 import re

@@ -23,7 +23,6 @@ which is the naming the kohya export contract is expressed in.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -243,7 +242,15 @@ def unet_forward(
         temb = temb + add_emb
     temb = temb.astype(latents.dtype)
 
-    maybe_remat = jax.checkpoint if remat else (lambda f, **kw: f)
+    if remat == "dots":
+        # save matmul/conv outputs, recompute elementwise — trades a little
+        # HBM for much less recomputation in the backward pass
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        maybe_remat = lambda f: jax.checkpoint(f, policy=policy)  # noqa: E731
+    elif remat:
+        maybe_remat = jax.checkpoint
+    else:
+        maybe_remat = lambda f: f  # noqa: E731
 
     x = conv2d(params["conv_in"], latents, padding=1)
     skips = [x]

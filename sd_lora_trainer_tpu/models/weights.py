@@ -23,7 +23,7 @@ ranks UNet weight conversion the #1 risk).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,7 @@ completion_f = step / max_train_steps:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ in fp32 each step (dequantize -> update -> requantize).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import chex
 import jax

@@ -23,7 +23,6 @@ Design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import chex
@@ -45,7 +44,6 @@ from sd_lora_trainer_tpu.models.clip import CLIPTextConfig
 from sd_lora_trainer_tpu.models.conditioning import sd15_conditioning, sdxl_conditioning
 from sd_lora_trainer_tpu.models.lora import inject_lora
 from sd_lora_trainer_tpu.models.unet import UNetConfig, unet_forward
-from sd_lora_trainer_tpu.training.optimizers import ti_lr_schedule
 
 
 @chex.dataclass
@@ -92,7 +90,7 @@ class StepConfig:
     train_ti: bool
     train_te_lora: bool
     use_flash: bool
-    remat: bool
+    remat: object  # False | True | "dots" (remat policy)
     max_train_steps: int
     ti_freeze_f: float
     ti_lr: float

@@ -15,8 +15,7 @@ precomputed target conditionings are jit arguments).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
