@@ -2,6 +2,14 @@
 reference (main.py:554-568): iterate the train() generator, print progress."""
 
 import argparse
+import os
+
+import jax
+
+# Some environments force a platform via sitecustomize AFTER reading
+# JAX_PLATFORMS; re-apply the env var so it stays authoritative for the CLI.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from sd_lora_trainer_tpu.config import TrainingConfig
 from sd_lora_trainer_tpu.main import train

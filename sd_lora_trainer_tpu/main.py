@@ -200,7 +200,9 @@ def train(config: TrainingConfig):
         )
     else:
         print("Doing full fine-tuning on the U-Net")
-        trainable["unet"] = loaded.unet
+        # copy: the train state is donated each step; aliasing loaded.unet
+        # would delete the buffers rendering/frozen still reference
+        trainable["unet"] = jax.tree.map(jnp.copy, loaded.unet)
     if not config.disable_ti:
         ti_group = {"te1": ti_rows[0]}
         if ti_rows[1] is not None:
@@ -358,9 +360,12 @@ def train(config: TrainingConfig):
 
     def do_render(output_save_dir):
         unet_lora, te_loras, rows = current_adapters()
+        # full finetune renders with the CURRENT trained unet (the reference
+        # renders through the live pipe whose unet is the finetuned one)
+        render_unet = loaded.unet if config.is_lora else state.trainable["unet"]
         pipe = InferencePipeline(
             version=loaded.version,
-            unet_params=loaded.unet,
+            unet_params=render_unet,
             unet_config=loaded.unet_config,
             te1_params=loaded.text_encoder,
             te1_config=loaded.text_encoder_config,
