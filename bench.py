@@ -30,8 +30,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def main():
+    model = os.environ.get("BENCH_MODEL", "sdxl")  # sdxl | sd15
     batch_size = int(os.environ.get("BENCH_BS", "4"))
-    resolution = int(os.environ.get("BENCH_RES", "1024"))
+    default_res = "1024" if model == "sdxl" else "512"
+    resolution = int(os.environ.get("BENCH_RES", default_res))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
     latent = resolution // 8
 
@@ -44,7 +46,11 @@ def main():
         init_clip_params,
     )
     from sd_lora_trainer_tpu.models.lora import UNET_TARGETS, create_lora_params
-    from sd_lora_trainer_tpu.models.unet import SDXL_UNET_CONFIG, init_unet_params
+    from sd_lora_trainer_tpu.models.unet import (
+        SD15_UNET_CONFIG,
+        SDXL_UNET_CONFIG,
+        init_unet_params,
+    )
     from sd_lora_trainer_tpu.training.optimizers import build_optimizer
     from sd_lora_trainer_tpu.training.step import (
         FrozenModels,
@@ -56,39 +62,42 @@ def main():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     print(f"[bench] devices: {jax.devices()}", flush=True)
-    print(f"[bench] initializing full-size SDXL stack (bs={batch_size}, {resolution}px)...", flush=True)
+    print(f"[bench] initializing full-size {model} stack (bs={batch_size}, {resolution}px)...", flush=True)
     _t_init = time.time()
 
+    unet_cfg = SDXL_UNET_CONFIG if model == "sdxl" else SD15_UNET_CONFIG
     # Jit the inits: eager per-leaf init would issue thousands of tiny device
     # ops (catastrophic over a remote TPU tunnel); one compiled program each.
-    unet = jax.jit(lambda k: init_unet_params(k, SDXL_UNET_CONFIG, dtype=jnp.bfloat16))(ks[0])
+    unet = jax.jit(lambda k: init_unet_params(k, unet_cfg, dtype=jnp.bfloat16))(ks[0])
     te1 = jax.jit(lambda k: init_clip_params(k, CLIP_L_CONFIG, dtype=jnp.bfloat16))(ks[1])
-    te2 = jax.jit(lambda k: init_clip_params(k, CLIP_BIG_G_CONFIG, dtype=jnp.bfloat16))(ks[2])
+    te2 = None
+    if model == "sdxl":
+        te2 = jax.jit(lambda k: init_clip_params(k, CLIP_BIG_G_CONFIG, dtype=jnp.bfloat16))(ks[2])
     jax.block_until_ready(unet)
     print(f"[bench] init done in {time.time() - _t_init:.1f}s", flush=True)
     t1 = te1["text_model"]["embeddings"]["token_embedding"]["weight"]
-    t2 = te2["text_model"]["embeddings"]["token_embedding"]["weight"]
+    dist_targets = {"te1": DistributionLossTargets.from_embeddings(t1)}
+    if te2 is not None:
+        t2 = te2["text_model"]["embeddings"]["token_embedding"]["weight"]
+        dist_targets["te2"] = DistributionLossTargets.from_embeddings(t2)
 
     frozen = FrozenModels(
         unet_params=unet,
-        unet_config=SDXL_UNET_CONFIG,
+        unet_config=unet_cfg,
         te1_params=te1,
         te1_config=CLIP_L_CONFIG,
         te2_params=te2,
-        te2_config=CLIP_BIG_G_CONFIG,
+        te2_config=CLIP_BIG_G_CONFIG if model == "sdxl" else None,
         schedule=DDPMSchedule.create(),
-        version="sdxl",
+        version=model,
         resolution=(resolution, resolution),
-        distribution_targets={
-            "te1": DistributionLossTargets.from_embeddings(t1),
-            "te2": DistributionLossTargets.from_embeddings(t2),
-        },
+        distribution_targets=dist_targets,
     )
 
     config = TrainingConfig(
         lora_training_urls="bench",
         concept_mode="style",
-        sd_model_version="sdxl",
+        sd_model_version=model,
         max_train_steps=400,
         lora_rank=16,
         train_batch_size=batch_size,
@@ -96,15 +105,16 @@ def main():
         _testing_no_output_dir=True,
     )
 
-    trainable = jax.jit(
-        lambda k3, k4, k5: {
+    def make_trainable(k3, k4, k5):
+        t = {
             "unet": create_lora_params(k3, unet, rank=16, targets=UNET_TARGETS),
-            "ti": {
-                "te1": jax.random.normal(k4, (3, 768)) * 0.01,
-                "te2": jax.random.normal(k5, (3, 1280)) * 0.01,
-            },
+            "ti": {"te1": jax.random.normal(k4, (3, 768)) * 0.01},
         }
-    )(ks[3], ks[4], ks[5])
+        if model == "sdxl":
+            t["ti"]["te2"] = jax.random.normal(k5, (3, 1280)) * 0.01
+        return t
+
+    trainable = jax.jit(make_trainable)(ks[3], ks[4], ks[5])
     optimizer = build_optimizer(config, trainable)
     sc = StepConfig.from_config(config, 1.0)
     import dataclasses
@@ -183,7 +193,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"sdxl_lora_train_imgs_per_sec_chip_{resolution}px_bs{batch_size}",
+                "metric": f"{model}_lora_train_imgs_per_sec_chip_{resolution}px_bs{batch_size}",
                 "value": round(imgs_per_sec, 3),
                 "unit": "imgs/s",
                 "vs_baseline": round(imgs_per_sec / anchor_at_res, 3),

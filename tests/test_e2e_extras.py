@@ -152,3 +152,16 @@ def test_cli_subprocess(tiny_env):
     )
     assert result.returncode == 0, result.stderr[-3000:]
     assert "Training done :)" in result.stdout
+
+
+def test_bucketed_training_run(tiny_env):
+    """aspect_ratio_bucketing=True drives the per-bucket latent caches and
+    BucketPlan batching through the real train loop (the path that is broken
+    in the reference, dataset.py:115-136)."""
+    config, save_dir = _run_train(
+        tiny_env, name="bucketed", aspect_ratio_bucketing=True, max_train_steps=3
+    )
+    files = os.listdir(save_dir)
+    assert any(f.endswith("_lora.safetensors") for f in files)
+    args = json.load(open(os.path.join(save_dir, "training_args.json")))
+    assert args["aspect_ratio_bucketing"] is True
