@@ -166,6 +166,10 @@ class TrainingConfig(BaseModel):
     sharding_mode: Literal["dp", "fsdp"] = "dp"
     # Rematerialization policy for the UNet blocks under jit.
     remat: bool = True
+    # Pre-compile the train step for every bucket resolution before the loop
+    # (bucketed runs switch shapes mid-epoch; each shape is its own XLA
+    # program and compiles can take minutes).
+    prewarm_compile: bool = True
     # Save orbax train state for mid-run resume (the reference cannot resume).
     save_train_state: bool = False
     resume_from: Optional[str] = None

@@ -291,11 +291,35 @@ def train(config: TrainingConfig):
 
     def assemble_batch() -> Dict[str, np.ndarray]:
         """Host-side batch prep: sampling, caption dropout, tokenization,
-        DAAM caption analysis; stacks [accum, B, ...]."""
+        DAAM caption analysis; stacks [accum, B, ...].
+
+        With bucketing, all micro-batches of one optimizer step share ONE
+        resolution (stacked arrays must be uniform; one compiled shape per
+        step): the first draw picks the bucket, later draws retry for the
+        same resolution and fall back to sampling that bucket's own pool."""
+        step_res = None
         micro = []
         for _ in range(accum):
             if config.aspect_ratio_bucketing:
-                data, _res = train_dataset.bucketed_batch()
+                data, res = train_dataset.bucketed_batch()
+                if step_res is None:
+                    step_res = tuple(res)
+                elif tuple(res) != step_res:
+                    for _retry in range(10):
+                        data, res = train_dataset.bucketed_batch()
+                        if tuple(res) == step_res:
+                            break
+                    if tuple(res) != step_res:
+                        # resample ids from the step bucket's own cache
+                        store = train_dataset.bucket_latents[step_res]
+                        ids = list(store.keys())
+                        pick = rng.choice(ids, size=config.train_batch_size, replace=True)
+                        data = {
+                            "latent_mean": np.stack([store[i][0] for i in pick]),
+                            "latent_logvar": np.stack([store[i][1] for i in pick]),
+                            "mask": np.stack([store[i][2] for i in pick]),
+                            "captions": [train_dataset.captions[i] for i in pick],
+                        }
             else:
                 idx = rng.choice(len(train_dataset), size=config.train_batch_size, replace=len(train_dataset) < config.train_batch_size)
                 data = train_dataset.batch(list(idx))
@@ -397,6 +421,32 @@ def train(config: TrainingConfig):
             os.path.join(os.path.dirname(output_save_dir), f"validation_grid_{global_step:04d}.jpg"),
         )
         return prompts
+
+    if config.aspect_ratio_bucketing and config.prewarm_compile:
+        # one throwaway step per bucket resolution: populates the jit cache
+        # so mid-epoch shape switches don't stall on multi-minute compiles
+        resolutions = sorted(train_dataset.bucket_latents.keys())
+        print(f"[prewarm] compiling {len(resolutions)} bucket resolutions...")
+        for res in resolutions:
+            store = train_dataset.bucket_latents[res]
+            ids = list(store.keys())[: config.train_batch_size]
+            ids = (ids * config.train_batch_size)[: config.train_batch_size]
+            dummy_caps = [train_dataset.captions[i] for i in ids]
+            d_ids1 = np.asarray(tok1(dummy_caps), np.int32)
+            d_ids2 = np.asarray(tok2(dummy_caps), np.int32) if tok2 else d_ids1
+            lens, poss = zip(*(handler.ti_token_positions(c) for c in dummy_caps))
+            dummy = {
+                "latent_mean": np.stack([np.stack([store[i][0] for i in ids])] * accum),
+                "latent_logvar": np.stack([np.stack([store[i][1] for i in ids])] * accum),
+                "mask": np.stack([np.stack([store[i][2] for i in ids])] * accum),
+                "input_ids": np.stack([d_ids1] * accum),
+                "input_ids_2": np.stack([d_ids2] * accum),
+                "caption_token_lengths": np.stack([np.asarray(lens, np.int32)] * accum),
+                "ti_token_positions": np.stack([np.asarray(poss, np.int32)] * accum),
+                "latent_scale": np.float32(train_dataset.vae_scaling_factor),
+            }
+            throwaway = jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, "copy") else x, state)
+            step_fn(throwaway, dummy, frozen)
 
     validation_prompts: List[str] = []
     progress_stride = max(config.max_train_steps // 100, 1)
