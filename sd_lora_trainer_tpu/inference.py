@@ -228,6 +228,68 @@ def _sample(
     return x
 
 
+def render_images_eval(
+    base_checkpoint_path: str,
+    lora_save_path: str,
+    render_size: Tuple[int, int],
+    seed: int = 0,
+    lora_scale: float = 0.75,
+    n_imgs: int = 4,
+    n_steps: int = 25,
+    dtype=None,
+) -> List[str]:
+    """Standalone from-disk eval rendering (reference: trainer/inference.py:
+    409-493 render_images_eval): rebuild the pipeline from the base
+    checkpoint, load the trained adapters + TI rows, render.
+    """
+    import jax.numpy as _jnp
+
+    from sd_lora_trainer_tpu.checkpoint import load_checkpoint
+    from sd_lora_trainer_tpu.models.weights import load_models_from_checkpoint
+
+    loaded = load_models_from_checkpoint(
+        base_checkpoint_path, dtype=dtype or _jnp.bfloat16
+    )
+    from sd_lora_trainer_tpu.main import build_tokenizers
+
+    tok1, tok2 = build_tokenizers(loaded)
+    ckpt = load_checkpoint(
+        lora_save_path, loaded.unet, [loaded.text_encoder, loaded.text_encoder_2]
+    )
+    n_tokens = ckpt["ti_rows"][0].shape[0] if ckpt["ti_rows"][0] is not None else 0
+    toks = [f"<s{i}>" for i in range(n_tokens)]
+    for tok in (tok1, tok2):
+        if tok is not None and toks:
+            tok.add_special_tokens(toks)
+    pipe = InferencePipeline(
+        version=loaded.version,
+        unet_params=loaded.unet,
+        unet_config=loaded.unet_config,
+        te1_params=loaded.text_encoder,
+        te1_config=loaded.text_encoder_config,
+        te2_params=loaded.text_encoder_2,
+        te2_config=loaded.text_encoder_2_config,
+        vae_params=loaded.vae,
+        vae_config=loaded.vae_config,
+        tokenizer_1=tok1,
+        tokenizer_2=tok2,
+        schedule=DDPMSchedule.create(),
+        ti_rows=ckpt["ti_rows"],
+    )
+    return render_images(
+        pipe,
+        render_size=render_size,
+        lora_path=lora_save_path,
+        train_step=0,
+        seed=seed,
+        lora_scale=lora_scale,
+        n_imgs=n_imgs,
+        n_steps=n_steps,
+        unet_lora=ckpt["unet_lora"],
+        te_loras=ckpt["te_loras"],
+    )
+
+
 def render_images(
     pipe: InferencePipeline,
     render_size: Tuple[int, int],

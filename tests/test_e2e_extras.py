@@ -165,3 +165,20 @@ def test_bucketed_training_run(tiny_env):
     assert any(f.endswith("_lora.safetensors") for f in files)
     args = json.load(open(os.path.join(save_dir, "training_args.json")))
     assert args["aspect_ratio_bucketing"] is True
+
+
+def test_render_images_eval_from_disk(tiny_env):
+    """render_images_eval: full from-disk rebuild + adapter load + render
+    (reference: trainer/inference.py:409-493)."""
+    import jax.numpy as jnp
+
+    config, save_dir = _run_train(tiny_env, name="evalrender", max_train_steps=2)
+    from sd_lora_trainer_tpu.inference import render_images_eval
+
+    prompts = render_images_eval(
+        tiny_env["ckpt"], save_dir, render_size=(64, 64), seed=1, n_imgs=1,
+        n_steps=4, dtype=jnp.float32,
+    )
+    assert len(prompts) == 1
+    # renders with train_step=0 prefix
+    assert any(f.startswith("img_0000_") for f in os.listdir(save_dir))
