@@ -48,14 +48,16 @@ def replace_in_string(s: str, replacements: dict) -> str:
 
 
 def fix_prompt(prompt: str) -> str:
-    """Punctuation / whitespace cleanup (reference: utils.py:39-47)."""
+    """Punctuation / whitespace cleanup — same rule order as the reference
+    (utils.py:39-47): collapse spaces, squash double commas, then normalize
+    spacing around commas and periods."""
     if not prompt:
         return prompt
-    prompt = re.sub(r"\s+", " ", prompt)  # collapse whitespace
-    prompt = re.sub(r"\s?,\s?", ", ", prompt)  # normalize space around commas
-    prompt = re.sub(r",+", ",", prompt)  # squash repeated commas
-    prompt = re.sub(r"\.+", ".", prompt)  # squash repeated periods
-    return prompt.strip(", ")
+    prompt = re.sub(r"\s+", " ", prompt)
+    prompt = re.sub(r",,", ",", prompt)
+    prompt = re.sub(r"\s?,\s?", ", ", prompt)
+    prompt = re.sub(r"\s?\.\s?", ". ", prompt)
+    return prompt.strip()
 
 
 def seed_everything(seed: int) -> None:
