@@ -126,6 +126,9 @@ def main():
     if remat_mode == "dots":
         sc = dataclasses.replace(sc, remat="dots")
         print("[bench] remat policy: dots_with_no_batch_dims_saveable", flush=True)
+    elif remat_mode == "light":
+        sc = dataclasses.replace(sc, remat="light")
+        print("[bench] remat: light (attention blocks only)", flush=True)
     elif remat_mode == "off":
         sc = dataclasses.replace(sc, remat=False)
         print("[bench] remat DISABLED", flush=True)

@@ -247,10 +247,18 @@ def unet_forward(
         # HBM for much less recomputation in the backward pass
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         maybe_remat = lambda f: jax.checkpoint(f, policy=policy)  # noqa: E731
+        remat_plain = maybe_remat
+    elif remat == "light":
+        # selective: remat only attention-bearing layers; plain resnet layers
+        # (the highest-resolution, most conv-expensive ones) save activations
+        maybe_remat = jax.checkpoint
+        remat_plain = lambda f: f  # noqa: E731
     elif remat:
         maybe_remat = jax.checkpoint
+        remat_plain = jax.checkpoint
     else:
         maybe_remat = lambda f: f  # noqa: E731
+        remat_plain = maybe_remat
 
     x = conv2d(params["conv_in"], latents, padding=1)
     skips = [x]
@@ -279,7 +287,8 @@ def unet_forward(
                     )
                 return x, scores
 
-            x, scores = maybe_remat(down_layer)(layer_params, x, temb, ctx)
+            wrap = maybe_remat if has_attn else remat_plain
+            x, scores = wrap(down_layer)(layer_params, x, temb, ctx)
             attn_scores.update(scores)
             skips.append(x)
         if "downsamplers" in bp:
@@ -334,7 +343,8 @@ def unet_forward(
                     )
                 return x, scores
 
-            x, scores = maybe_remat(up_layer)(layer_params, x, skips.pop(), temb, ctx)
+            wrap = maybe_remat if has_attn else remat_plain
+            x, scores = wrap(up_layer)(layer_params, x, skips.pop(), temb, ctx)
             attn_scores.update(scores)
         if "upsamplers" in bp:
             x = upsample_nearest_2x(x)
