@@ -277,6 +277,42 @@ def train(config: TrainingConfig):
         key=jax.random.fold_in(key, 2),
     )
 
+    # ---- multi-device sharding (DP for LoRA, FSDP for full finetune) ----
+    # Single-chip runs skip this; on a pod slice the batch is sharded across
+    # the "data" axis (must divide the global batch) and, in fsdp mode, the
+    # trainable unet + optimizer state shard across the same axis.
+    mesh = None
+    n_devices = config.mesh_data_parallel or len(jax.local_devices())
+    if n_devices > 1 and (config.train_batch_size % n_devices == 0):
+        from sd_lora_trainer_tpu.parallel.sharding import (
+            create_mesh,
+            replicated,
+            shard_batch_tree,
+            trainable_shardings,
+        )
+
+        mesh = create_mesh(n_devices)
+        print(f"[sharding] {config.sharding_mode} over mesh {mesh}")
+        t_sh = trainable_shardings(trainable, mesh, mode=config.sharding_mode)
+        rep = replicated(mesh)
+        state = TrainState(
+            step=jax.device_put(state.step, rep),
+            trainable=jax.tree.map(jax.device_put, state.trainable, t_sh),
+            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state)
+            if config.sharding_mode == "dp"
+            else jax.jit(optimizer.init, in_shardings=(t_sh,))(
+                jax.tree.map(jax.device_put, trainable, t_sh)
+            ),
+            key=jax.device_put(state.key, rep),
+        )
+
+    def put_batch(batch):
+        if mesh is None:
+            return batch
+        from sd_lora_trainer_tpu.parallel.sharding import shard_batch_tree
+
+        return shard_batch_tree(batch, mesh)
+
     checkpoint_dir = os.path.join(str(config.output_dir), "checkpoints")
     if os.path.exists(checkpoint_dir):
         shutil.rmtree(checkpoint_dir)
@@ -446,7 +482,7 @@ def train(config: TrainingConfig):
                 "latent_scale": np.float32(train_dataset.vae_scaling_factor),
             }
             throwaway = jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, "copy") else x, state)
-            step_fn(throwaway, dummy, frozen)
+            step_fn(throwaway, put_batch(dummy), frozen)
 
     validation_prompts: List[str] = []
     progress_stride = max(config.max_train_steps // 100, 1)
@@ -491,7 +527,7 @@ def train(config: TrainingConfig):
                 )
 
     while global_step < config.max_train_steps:
-        batch = assemble_batch()
+        batch = put_batch(assemble_batch())
         state, metrics = step_fn(state, batch, frozen)
         global_step += 1
         images_done += config.train_batch_size * accum

@@ -182,3 +182,12 @@ def test_render_images_eval_from_disk(tiny_env):
     assert len(prompts) == 1
     # renders with train_step=0 prefix
     assert any(f.startswith("img_0000_") for f in os.listdir(save_dir))
+
+
+def test_mesh_sharded_training_run(tiny_env):
+    """train_batch_size divisible by the 8 virtual devices engages the mesh
+    path inside train() (DP batch sharding + replicated adapters)."""
+    config, save_dir = _run_train(
+        tiny_env, name="meshdp", train_batch_size=8, max_train_steps=2
+    )
+    assert any(f.endswith("_lora.safetensors") for f in os.listdir(save_dir))
