@@ -318,7 +318,10 @@ def train(config: TrainingConfig):
         shutil.rmtree(checkpoint_dir)
     os.makedirs(checkpoint_dir)
 
-    losses: Dict[str, List[float]] = {}
+    losses: Dict[str, List] = {}  # device scalars, pulled to host lazily
+
+    def losses_as_floats() -> Dict[str, List[float]]:
+        return {k: [float(x) for x in v] for k, v in losses.items()}
     rng = np.random.RandomState(config.seed)
     start_time, images_done = time.time(), 0
     global_step, last_save_step = 0, 0
@@ -499,13 +502,14 @@ def train(config: TrainingConfig):
             plot_token_stds,
         )
 
+        host_losses = losses_as_floats()
         plot_loss(
-            {k: v for k, v in losses.items() if k != "grad_norm"},
+            {k: v for k, v in host_losses.items() if k != "grad_norm"},
             os.path.join(config.output_dir, "losses.png"),
         )
         plot_lrs(lr_history, os.path.join(config.output_dir, "learning_rates.png"))
         plot_grad_norms(
-            {"total": losses.get("grad_norm", [])},
+            {"total": host_losses.get("grad_norm", [])},
             os.path.join(config.output_dir, "grad_norms.png"),
         )
         targets = {
@@ -533,7 +537,10 @@ def train(config: TrainingConfig):
         images_done += config.train_batch_size * accum
 
         for k, v in metrics.items():
-            losses.setdefault(k, []).append(float(v))
+            # keep the device scalar — float() here would force a device sync
+            # every step and serialize host batch-prep against device compute;
+            # values are pulled to host lazily at checkpoint/plot time
+            losses.setdefault(k, []).append(v)
 
         if config.debug:
             # LR + token-std tracking for the debug plots (reference
@@ -580,7 +587,7 @@ def train(config: TrainingConfig):
     config.job_time = time.time() - config.start_time
     config.training_attributes["validation_prompts"] = validation_prompts
     config.training_attributes["final_losses"] = {
-        k: v[-5:] for k, v in losses.items()
+        k: [float(x) for x in v[-5:]] for k, v in losses.items()
     }
     config.save_as_json(os.path.join(output_save_dir, "training_args.json"))
     print("Training job complete, saving outputs...", flush=True)
