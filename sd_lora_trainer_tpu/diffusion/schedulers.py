@@ -17,7 +17,6 @@ flow on traced values.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -149,32 +148,3 @@ class EulerDiscreteSampler:
             raise ValueError(f"Unknown prediction type {self.schedule.prediction_type}")
         derivative = (sample - pred_original) / sigma.astype(sample.dtype)
         return sample + (sigma_next - sigma).astype(sample.dtype) * derivative
-
-
-@partial(jax.jit, static_argnames=("sampler", "num_inference_steps", "unet_fn", "guidance_scale"))
-def euler_sample_loop(
-    sampler: EulerDiscreteSampler,
-    unet_fn,
-    latents: jnp.ndarray,
-    num_inference_steps: int,
-    guidance_scale: float,
-):
-    """Full CFG sampling loop as a lax.scan (static shapes, one compile).
-
-    `unet_fn(latent, t)` must return (eps_uncond, eps_text) — the caller closes
-    over params/conditioning and runs the batched CFG forward.
-    """
-    sigmas, timesteps = sampler.sigmas_and_timesteps(num_inference_steps)
-    latents = latents * sampler.init_noise_sigma(num_inference_steps).astype(latents.dtype)
-
-    def body(x, inp):
-        sigma, sigma_next, t = inp
-        x_in = sampler.scale_model_input(x, sigma)
-        eps_uncond, eps_text = unet_fn(x_in, t)
-        eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
-        x = sampler.step(eps, sigma, sigma_next, x)
-        return x, None
-
-    xs = (sigmas[:-1], sigmas[1:], timesteps)
-    latents, _ = jax.lax.scan(body, latents, xs)
-    return latents

@@ -111,18 +111,6 @@ def group_norm(p: dict, x: jnp.ndarray, groups: int = 32, eps: float = 1e-5) -> 
     return out.astype(orig_dtype)
 
 
-def group_norm_1d(p: dict, x: jnp.ndarray, groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm for [B, L, C] token layouts (used inside attention blocks)."""
-    orig_dtype = x.dtype
-    b, l, c = x.shape
-    xf = x.astype(jnp.float32).reshape(b, l, groups, c // groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = xf.var(axis=(1, 3), keepdims=True)
-    xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, l, c)
-    out = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return out.astype(orig_dtype)
-
-
 def layer_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)

@@ -142,16 +142,6 @@ def _set_path(tree: dict, path: Tuple, value):
     node[str(path[-1])] = value
 
 
-def _get_path(tree, path: Tuple):
-    node = tree
-    for p in path:
-        if isinstance(node, (list, tuple)):
-            node = node[int(p)]
-        else:
-            node = node[str(p)] if str(p) in node else node[p]
-    return node
-
-
 def inject_lora(base_params: dict, lora_params: dict) -> dict:
     """Return a copy of base_params with "lora" subdicts grafted in.
 
