@@ -139,6 +139,59 @@ def prep_training_data(source: str, out_dir: str) -> int:
     return reencode_images(out_dir)
 
 
+def merge_datasets(
+    dataset_dirs, out_dir: str, token_names=None, balance: bool = True
+) -> str:
+    """Merge preprocessed datasets for multi-concept training.
+
+    The reference carries this as dead code (trainer/utils/io.py:30-95
+    references pandas without importing it); this is a working version:
+    concatenates each dataset's {i}.src.jpg / {i}.mask.jpg / captions.csv,
+    optionally rewrites "TOK" to a per-concept token name, and (with
+    `balance`) duplicates smaller datasets so every concept contributes the
+    same number of rows (the reference's "SCM duplication").
+    """
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    frames = []
+    for d in dataset_dirs:
+        df = pd.read_csv(os.path.join(d, "captions.csv"), dtype={"caption": str})
+        df["_src_dir"] = d
+        frames.append(df)
+
+    if balance:
+        target = max(len(df) for df in frames)
+        frames = [
+            pd.concat([df] * -(-target // len(df)), ignore_index=True).iloc[:target]
+            for df in frames
+        ]
+
+    rows = []
+    idx = 0
+    for concept_i, df in enumerate(frames):
+        token = (token_names or [None] * len(frames))[concept_i]
+        for _, row in df.iterrows():
+            image_name, mask_name = f"{idx}.src.jpg", f"{idx}.mask.jpg"
+            shutil.copy(os.path.join(row["_src_dir"], row["image_path"]), os.path.join(out_dir, image_name))
+            if isinstance(row.get("mask_path"), str):
+                shutil.copy(os.path.join(row["_src_dir"], row["mask_path"]), os.path.join(out_dir, mask_name))
+            else:
+                mask_name = None
+            caption = row["caption"]
+            if token:
+                caption = caption.replace("TOK", token)
+            rows.append({"image_path": image_name, "mask_path": mask_name, "caption": caption})
+            idx += 1
+
+    import pandas as pd  # noqa: F811
+
+    pd.DataFrame(rows, columns=["image_path", "mask_path", "caption"]).to_csv(
+        os.path.join(out_dir, "captions.csv"), index=False
+    )
+    return out_dir
+
+
 def make_validation_img_grid(img_folder: str) -> str:
     """4-wide jpg grid of the validation renders (io.py:99-136)."""
     paths = sorted(
