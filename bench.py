@@ -14,8 +14,10 @@ Baseline: the reference's published A100-class anchor is 6.0 imgs/s at bs=4
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import os
+import sys
 import time
 
 import jax
@@ -61,8 +63,8 @@ def main():
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
-    print(f"[bench] devices: {jax.devices()}", flush=True)
-    print(f"[bench] initializing full-size {model} stack (bs={batch_size}, {resolution}px)...", flush=True)
+    print(f"[bench] devices: {jax.devices()}", flush=True, file=sys.stderr)
+    print(f"[bench] initializing full-size {model} stack (bs={batch_size}, {resolution}px)...", flush=True, file=sys.stderr)
     _t_init = time.time()
 
     unet_cfg = SDXL_UNET_CONFIG if model == "sdxl" else SD15_UNET_CONFIG
@@ -74,7 +76,7 @@ def main():
     if model == "sdxl":
         te2 = jax.jit(lambda k: init_clip_params(k, CLIP_BIG_G_CONFIG, dtype=jnp.bfloat16))(ks[2])
     jax.block_until_ready(unet)
-    print(f"[bench] init done in {time.time() - _t_init:.1f}s", flush=True)
+    print(f"[bench] init done in {time.time() - _t_init:.1f}s", flush=True, file=sys.stderr)
     t1 = te1["text_model"]["embeddings"]["token_embedding"]["weight"]
     dist_targets = {"te1": DistributionLossTargets.from_embeddings(t1)}
     if te2 is not None:
@@ -121,17 +123,17 @@ def main():
 
     if os.environ.get("BENCH_FLASH", "1") == "0":
         sc = dataclasses.replace(sc, use_flash=False)
-        print("[bench] flash attention DISABLED (einsum path)", flush=True)
+        print("[bench] flash attention DISABLED (einsum path)", flush=True, file=sys.stderr)
     remat_mode = os.environ.get("BENCH_REMAT", "full")
     if remat_mode == "dots":
         sc = dataclasses.replace(sc, remat="dots")
-        print("[bench] remat policy: dots_with_no_batch_dims_saveable", flush=True)
+        print("[bench] remat policy: dots_with_no_batch_dims_saveable", flush=True, file=sys.stderr)
     elif remat_mode == "light":
         sc = dataclasses.replace(sc, remat="light")
-        print("[bench] remat: light (attention blocks only)", flush=True)
+        print("[bench] remat: light (attention blocks only)", flush=True, file=sys.stderr)
     elif remat_mode == "off":
         sc = dataclasses.replace(sc, remat=False)
-        print("[bench] remat DISABLED", flush=True)
+        print("[bench] remat DISABLED", flush=True, file=sys.stderr)
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles
@@ -157,28 +159,28 @@ def main():
         "latent_scale": jnp.float32(0.13025),
     }
 
-    print("[bench] compiling + warmup...", flush=True)
+    print("[bench] compiling + warmup...", flush=True, file=sys.stderr)
     t0 = time.time()
     state, metrics = step_fn(state, batch, frozen)
     jax.block_until_ready(metrics["tot_loss"])
-    print(f"[bench] first step (compile) took {time.time() - t0:.1f}s", flush=True)
+    print(f"[bench] first step (compile) took {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
     # one more warmup step post-compile (also catches silent recompiles).
     # Synchronize by FETCHING the loss value — block_until_ready alone has
     # proven unreliable on the experimental axon platform.
     t0 = time.time()
     state, metrics = step_fn(state, batch, frozen)
     loss_val = float(metrics["tot_loss"])
-    print(f"[bench] second step took {time.time() - t0:.2f}s (loss={loss_val:.4f})", flush=True)
+    print(f"[bench] second step took {time.time() - t0:.2f}s (loss={loss_val:.4f})", flush=True, file=sys.stderr)
 
     t0 = time.time()
     for i in range(n_steps):
         state, metrics = step_fn(state, batch, frozen)
         if i < 3:
             print(f"[bench] step {i}: loss={float(metrics['tot_loss']):.4f} "
-                  f"({time.time() - t0:.2f}s cumulative)", flush=True)
+                  f"({time.time() - t0:.2f}s cumulative)", flush=True, file=sys.stderr)
     final_loss = float(metrics["tot_loss"])  # host fetch = hard sync
     dt = time.time() - t0
-    print(f"[bench] final loss: {final_loss:.4f}", flush=True)
+    print(f"[bench] final loss: {final_loss:.4f}", flush=True, file=sys.stderr)
 
     imgs_per_sec = batch_size * n_steps / dt
     # A100-class anchor: 6.0 imgs/s at bs=4 (reference predict.py:121),
@@ -187,11 +189,12 @@ def main():
     # anchor_at_res = 6.0 * (512/res)^2.
     anchor_512 = 6.0
     anchor_at_res = anchor_512 * (512.0 / resolution) ** 2
-    print(f"[bench] {n_steps} steps in {dt:.2f}s -> {imgs_per_sec:.2f} imgs/s", flush=True)
+    print(f"[bench] {n_steps} steps in {dt:.2f}s -> {imgs_per_sec:.2f} imgs/s", flush=True, file=sys.stderr)
     print(
         f"[bench] A100 anchor at {resolution}px (pixel-normalized from "
         f"6.0 imgs/s @512px): {anchor_at_res:.2f} imgs/s",
         flush=True,
+        file=sys.stderr,
     )
     print(
         json.dumps(
