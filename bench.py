@@ -14,7 +14,6 @@ Baseline: the reference's published A100-class anchor is 6.0 imgs/s at bs=4
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
-import functools
 import json
 import os
 import sys
