@@ -319,6 +319,7 @@ def train(config: TrainingConfig):
     os.makedirs(checkpoint_dir)
 
     losses: Dict[str, List] = {}  # device scalars, pulled to host lazily
+    metrics_hosted: Dict[str, int] = {}  # per-key prefix already on host
 
     def losses_as_floats() -> Dict[str, List[float]]:
         return {k: [float(x) for x in v] for k, v in losses.items()}
@@ -541,6 +542,17 @@ def train(config: TrainingConfig):
             # every step and serialize host batch-prep against device compute;
             # values are pulled to host lazily at checkpoint/plot time
             losses.setdefault(k, []).append(v)
+
+        if global_step % 64 == 0:
+            # bulk-drain accumulated device scalars to host floats in one
+            # transfer: bounds live device buffers on long runs without
+            # putting a sync on the per-step critical path (the drained
+            # values are from steps long since retired)
+            for k, seq in losses.items():
+                start = metrics_hosted.get(k, 0)
+                if start < len(seq):
+                    seq[start:] = [float(x) for x in jax.device_get(seq[start:])]
+                    metrics_hosted[k] = len(seq)
 
         if config.debug:
             # LR + token-std tracking for the debug plots (reference

@@ -79,6 +79,55 @@ def replicated_shardings(params, mesh: Mesh):
     return jax.tree.map(lambda _: rep, params)
 
 
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+
+
+def collective_stats(compiled) -> dict:
+    """Best-effort per-step collective traffic from a compiled executable.
+
+    Parses the optimized HLO text for collective ops (all-reduce, all-gather,
+    reduce-scatter, collective-permute, all-to-all, incl. async -start forms)
+    and sums their output bytes. Returns {op_name: {"count": n, "bytes": b}}
+    plus a "total_bytes" key; {} if the HLO text is unavailable.
+    """
+    import re
+
+    try:
+        text = compiled.as_text()
+    except Exception:
+        return {}
+    # result shapes: `= f32[128,4]{1,0} all-reduce(` or tuple results
+    # `= (f32[128]{0}, /*index=1*/f32[64]{0}) all-gather-start(` — note long
+    # tuples carry `/*index=N*/` comments, so only `)` terminates the shape.
+    op_re = re.compile(
+        r"=\s+(\(?[a-z0-9_]+\[[0-9,]*\][^)]*?\)?)\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+        r"(-start)?\("
+    )
+    shape_re = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    stats: dict = {}
+    for m in op_re.finditer(text):
+        shapes, op = m.group(1), m.group(2)
+        nbytes = 0
+        for sm in shape_re.finditer(shapes):
+            dt, dims = sm.group(1), sm.group(2)
+            size = 1
+            for d in dims.split(","):
+                if d:
+                    size *= int(d)
+            nbytes += size * _DTYPE_BYTES.get(dt, 4)
+        ent = stats.setdefault(op, {"count": 0, "bytes": 0})
+        ent["count"] += 1
+        ent["bytes"] += nbytes
+    stats["total_bytes"] = sum(
+        v["bytes"] for k, v in stats.items() if isinstance(v, dict)
+    )
+    return stats
+
+
 def trainable_shardings(trainable, mesh: Mesh, mode: str = "dp", axis_name: str = "data"):
     """Sharding tree for the trainable pytree: dp=replicate everything,
     fsdp=shard the full-finetune unet group, replicate adapters/TI."""

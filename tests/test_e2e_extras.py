@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 from sd_lora_trainer_tpu.config import TrainingConfig
 from sd_lora_trainer_tpu.models.synthesize import (
     TINY_CLIP_G_CONFIG,
