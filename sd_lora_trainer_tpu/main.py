@@ -113,6 +113,12 @@ def train(config: TrainingConfig):
     seed_everything(config.seed)
     weight_dtype = dtype_map[config.weight_type]
 
+    if config.resume_from and not os.path.exists(config.resume_from):
+        # fail fast — before minutes of preprocessing / latent caching
+        raise FileNotFoundError(
+            f"resume_from points at a missing train state: {config.resume_from}"
+        )
+
     # ---- models (reference main.py:38-48) ----
     ckpt_path = download_weights_if_needed(config.pretrained_model)
     loaded = load_models_from_checkpoint(ckpt_path, dtype=weight_dtype)
@@ -277,6 +283,30 @@ def train(config: TrainingConfig):
         key=jax.random.fold_in(key, 2),
     )
 
+    # ---- resume (capability the reference lacks: its checkpoints are
+    # export-only, trainer/checkpoint.py never stores optimizer state) ----
+    resume_step = 0
+    if config.resume_from:
+        from sd_lora_trainer_tpu.checkpoint import restore_train_state
+
+        state = restore_train_state(config.resume_from, state)
+        state = TrainState(
+            step=jnp.asarray(state.step, jnp.int32),
+            trainable=state.trainable,
+            opt_state=state.opt_state,
+            key=jnp.asarray(state.key, jnp.uint32),
+        )
+        resume_step = int(state.step)
+        if resume_step >= config.max_train_steps:
+            raise ValueError(
+                f"resume_from state is at step {resume_step} >= "
+                f"max_train_steps={config.max_train_steps}; nothing to train"
+            )
+        print(
+            f"[resume] restored train state (trainable + optimizer moments + "
+            f"PRNG) from {config.resume_from} at step {resume_step}"
+        )
+
     # ---- multi-device sharding (DP for LoRA, FSDP for full finetune) ----
     # Single-chip runs skip this; on a pod slice the batch is sharded across
     # the "data" axis (must divide the global batch) and, in fsdp mode, the
@@ -295,14 +325,22 @@ def train(config: TrainingConfig):
         print(f"[sharding] {config.sharding_mode} over mesh {mesh}")
         t_sh = trainable_shardings(trainable, mesh, mode=config.sharding_mode)
         rep = replicated(mesh)
+        if config.sharding_mode == "dp":
+            opt_sh = jax.tree.map(lambda _: rep, state.opt_state)
+        else:
+            # fsdp: optimizer moments mirror param shapes, so the same
+            # largest-divisible-axis spec applies; scalar counts replicate.
+            # device_put (not re-init) so restored moments survive resume.
+            from sd_lora_trainer_tpu.parallel.sharding import fsdp_spec
+            from jax.sharding import NamedSharding
+
+            opt_sh = jax.tree.map(
+                lambda x: NamedSharding(mesh, fsdp_spec(x, mesh)), state.opt_state
+            )
         state = TrainState(
             step=jax.device_put(state.step, rep),
             trainable=jax.tree.map(jax.device_put, state.trainable, t_sh),
-            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state)
-            if config.sharding_mode == "dp"
-            else jax.jit(optimizer.init, in_shardings=(t_sh,))(
-                jax.tree.map(jax.device_put, trainable, t_sh)
-            ),
+            opt_state=jax.tree.map(jax.device_put, state.opt_state, opt_sh),
             key=jax.device_put(state.key, rep),
         )
 
@@ -325,7 +363,7 @@ def train(config: TrainingConfig):
         return {k: [float(x) for x in v] for k, v in losses.items()}
     rng = np.random.RandomState(config.seed)
     start_time, images_done = time.time(), 0
-    global_step, last_save_step = 0, 0
+    global_step, last_save_step = resume_step, 0
     accum = config.gradient_accumulation_steps
     token_string = config.token_dict["TOK"]
 
@@ -531,6 +569,15 @@ def train(config: TrainingConfig):
                     os.path.join(config.output_dir, f"lora_weights_{global_step}.png"),
                 )
 
+    if resume_step:
+        # replay the host-side batch draws of the completed steps so the
+        # data order / caption-dropout stream continues exactly where the
+        # interrupted run left off (device PRNG continues via the restored
+        # key: per-step keys are fold_in(state.key, step))
+        print(f"[resume] fast-forwarding host data RNG through {resume_step} steps")
+        for _ in range(resume_step):
+            assemble_batch()
+
     while global_step < config.max_train_steps:
         batch = put_batch(assemble_batch())
         state, metrics = step_fn(state, batch, frozen)
@@ -578,6 +625,12 @@ def train(config: TrainingConfig):
                 write_debug_plots()
             validation_prompts = do_render(output_save_dir)
             last_save_step = global_step
+
+        if config.save_train_state and global_step % config.checkpointing_steps == 0:
+            # rolling resume state at a fixed path, refreshed every
+            # checkpoint interval WITHOUT the reference's near-end guard:
+            # crash recovery needs a state that exists before the end
+            save_train_state(os.path.join(str(config.output_dir), "train_state"), state)
 
         if global_step % progress_stride == 0:
             yield min(global_step / config.max_train_steps + 0.05, 1.0)
