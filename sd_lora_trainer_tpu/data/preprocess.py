@@ -159,7 +159,18 @@ def post_process_captions(
         try:
             return _gpt_cleanup(captions, caption_text, concept_mode, seed)
         except Exception as e:  # degrade gracefully, like the reference retry-exhaustion path
-            print(f"[preprocess] GPT cleanup failed ({e}); using prefix injection")
+            from sd_lora_trainer_tpu.data.captioners import record_degradation
+
+            record_degradation(
+                "caption_cleanup", "gpt-4o rewrite", "prefix injection", str(e)
+            )
+    elif not skip_gpt_cleanup:
+        from sd_lora_trainer_tpu.data.captioners import record_degradation
+
+        record_degradation(
+            "caption_cleanup", "gpt-4o rewrite", "prefix injection",
+            "OPENAI_API_KEY not set; no concept_description will be extracted",
+        )
 
     if concept_mode == "style":
         trigger_text = caption_text or "in the style of TOK, "
@@ -229,6 +240,9 @@ def preprocess(
     """Full curation pipeline; returns (config, output_dir)
     (reference: trainer/preprocess.py:66-118 + load_and_save_masks_and_captions)."""
     random.seed(seed)
+    from sd_lora_trainer_tpu.data.captioners import DEGRADATIONS, reset_degradations
+
+    reset_degradations()
     temp_in = os.path.join(working_directory, "images_in")
     temp_out = os.path.join(working_directory, "images_out")
     for path in (temp_in, temp_out):
@@ -310,13 +324,27 @@ def preprocess(
         mask_target_prompts = gpt_concept_description
     if mask_target_prompts is None or concept_mode == "style":
         mask_target_prompts = ""
-    seg_masks = generate_masks(
-        images,
-        mask_target_prompts,
-        temperature=config.clipseg_temperature,
-        bias=0.05,
-        use_face_detection=use_face_detection_instead,
-    )
+    if use_face_detection_instead:
+        # face mode: dedicated face-localization chain
+        # (reference: face_mask_google_mediapipe, preprocess.py:1033-1160)
+        from sd_lora_trainer_tpu.data.captioners import record_degradation
+        from sd_lora_trainer_tpu.data.face_masks import generate_face_masks
+
+        seg_masks, face_backend = generate_face_masks(images, blur_amount=0.0, bias=10.0)
+        config.training_attributes["face_mask_backend"] = face_backend
+        if face_backend != "mediapipe":
+            record_degradation(
+                "face_masks", "mediapipe face mesh", face_backend,
+                "masks still localize the face but are coarser than the "
+                "reference's landmark-oval masks",
+            )
+    else:
+        seg_masks = generate_masks(
+            images,
+            mask_target_prompts,
+            temperature=config.clipseg_temperature,
+            bias=0.05,
+        )
 
     if crop_based_on_salience:
         coms = [center_of_mass(m) for m in seg_masks]
@@ -366,5 +394,8 @@ def preprocess(
     config.training_attributes["segmentation_prompt"] = mask_target_prompts
     config.training_attributes["gpt_description"] = gpt_concept_description
     config.training_attributes["captions"] = captions
+    # availability fallbacks that fired during this run (loud-failure policy;
+    # persisted into training_args.json so degraded runs are auditable)
+    config.training_attributes["degradations"] = list(DEGRADATIONS)
 
     return config, temp_out

@@ -86,9 +86,20 @@ def build_tokenizers(loaded: LoadedModels):
             tok = load_tokenizer(vocab_dir, pad_token_id=pad_token_id)
             if len(tok.encoder) == cfg.vocab_size:
                 return build(tok.encoder, [tuple(m) for m in sorted(tok.bpe_ranks, key=tok.bpe_ranks.get)], pad_token_id)
-            print(
-                f"[tokenizer] staged vocab size {len(tok.encoder)} != model vocab "
-                f"{cfg.vocab_size}; falling back to synthetic vocab"
+            from sd_lora_trainer_tpu.data.captioners import record_degradation
+
+            record_degradation(
+                "tokenizer", f"staged CLIP vocab ({len(tok.encoder)} tokens)",
+                "synthetic sized vocab",
+                f"size mismatch vs model vocab {cfg.vocab_size}",
+            )
+        else:
+            from sd_lora_trainer_tpu.data.captioners import record_degradation
+
+            record_degradation(
+                "tokenizer", "staged CLIP vocab", "synthetic sized vocab",
+                f"no vocab.json under {vocab_dir}; fine for synthetic checkpoints, "
+                "wrong for real SD weights — stage the CLIP tokenizer files",
             )
         vocab, merges = build_sized_test_vocab(cfg.vocab_size, extra_words=test_words)
         return build(vocab, merges, pad_token_id)
@@ -442,6 +453,11 @@ def train(config: TrainingConfig):
 
     def do_checkpoint(output_save_dir):
         os.makedirs(output_save_dir, exist_ok=True)
+        # refresh the degradation record: fallbacks after preprocess (e.g.
+        # tokenizer synthetic vocab) must reach the saved config too
+        from sd_lora_trainer_tpu.data.captioners import DEGRADATIONS
+
+        config.training_attributes["degradations"] = list(DEGRADATIONS)
         config.save_as_json(os.path.join(output_save_dir, "training_args.json"))
         unet_lora, te_loras, rows = current_adapters()
         save_checkpoint(
