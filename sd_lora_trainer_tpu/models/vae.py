@@ -43,8 +43,8 @@ SDXL_VAE_CONFIG = VAEConfig(scaling_factor=0.13025)
 
 
 def _resnet(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups)), padding=1)
-    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups)), padding=1)
+    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups, eps=1e-6)), padding=1)
+    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups, eps=1e-6)), padding=1)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding="VALID")
     return x + h
@@ -53,7 +53,7 @@ def _resnet(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
 def _attn_block(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
     """Single-head spatial self-attention (the VAE mid-block attention)."""
     b, h, w, c = x.shape
-    hidden = group_norm(p["group_norm"], x, groups).reshape(b, h * w, c)
+    hidden = group_norm(p["group_norm"], x, groups, eps=1e-6).reshape(b, h * w, c)
     q = hidden @ p["to_q"]["kernel"].astype(hidden.dtype) + p["to_q"]["bias"].astype(hidden.dtype)
     k = hidden @ p["to_k"]["kernel"].astype(hidden.dtype) + p["to_k"]["bias"].astype(hidden.dtype)
     v = hidden @ p["to_v"]["kernel"].astype(hidden.dtype) + p["to_v"]["bias"].astype(hidden.dtype)
@@ -82,7 +82,7 @@ def vae_encode(params: dict, images: jnp.ndarray, cfg: VAEConfig = SD15_VAE_CONF
     x = _resnet(mid["resnets"][0], x, g)
     x = _attn_block(mid["attentions"][0], x, g)
     x = _resnet(mid["resnets"][1], x, g)
-    x = conv2d(enc["conv_out"], silu(group_norm(enc["conv_norm_out"], x, g)), padding=1)
+    x = conv2d(enc["conv_out"], silu(group_norm(enc["conv_norm_out"], x, g, eps=1e-6)), padding=1)
     moments = conv2d(params["quant_conv"], x, padding="VALID")
     mean, logvar = jnp.split(moments, 2, axis=-1)
     logvar = jnp.clip(logvar, -30.0, 20.0)
@@ -114,7 +114,7 @@ def vae_decode(params: dict, latents: jnp.ndarray, cfg: VAEConfig = SD15_VAE_CON
         if "upsamplers" in block:
             x = upsample_nearest_2x(x)
             x = conv2d(block["upsamplers"][0]["conv"], x, padding=1)
-    x = conv2d(dec["conv_out"], silu(group_norm(dec["conv_norm_out"], x, g)), padding=1)
+    x = conv2d(dec["conv_out"], silu(group_norm(dec["conv_norm_out"], x, g, eps=1e-6)), padding=1)
     return x
 
 
