@@ -158,6 +158,18 @@ def main():
         "latent_scale": jnp.float32(0.13025),
     }
 
+    # Program FLOPs for MFU: lower+compile AOT (shares the persistent cache
+    # with the jit call below) and read XLA's cost analysis. Runs BEFORE the
+    # first real call so the donated state buffers are still live.
+    step_flops = None
+    try:
+        _ca = step_fn.lower(state, batch, frozen).compile().cost_analysis()
+        if isinstance(_ca, (list, tuple)):
+            _ca = _ca[0]
+        step_flops = float(_ca.get("flops", 0.0)) or None
+    except Exception as e:  # cost analysis is best-effort (platform-dependent)
+        print(f"[bench] cost_analysis unavailable: {e}", flush=True, file=sys.stderr)
+
     print("[bench] compiling + warmup...", flush=True, file=sys.stderr)
     t0 = time.time()
     state, metrics = step_fn(state, batch, frozen)
@@ -182,6 +194,30 @@ def main():
     print(f"[bench] final loss: {final_loss:.4f}", flush=True, file=sys.stderr)
 
     imgs_per_sec = batch_size * n_steps / dt
+
+    # MFU = measured FLOP/s over the device's peak bf16 matmul rate.
+    mfu = None
+    if step_flops:
+        kind = jax.devices()[0].device_kind.lower()
+        peak_map = [
+            ("v5 lite", 197e12),  # v5e
+            ("v5litepod", 197e12),
+            ("v6 lite", 918e12),  # v6e / Trillium
+            ("v6e", 918e12),
+            ("v5p", 459e12),
+            ("v5", 459e12),
+            ("v4", 275e12),
+        ]
+        peak = next((p for pat, p in peak_map if pat in kind), None)
+        if peak:
+            mfu = step_flops / (dt / n_steps) / peak
+            print(
+                f"[bench] step FLOPs {step_flops/1e12:.2f} TF, "
+                f"{step_flops / (dt / n_steps) / 1e12:.1f} TF/s achieved, "
+                f"MFU {mfu*100:.1f}% of {peak/1e12:.0f} TF/s peak ({kind})",
+                flush=True,
+                file=sys.stderr,
+            )
     # A100-class anchor: 6.0 imgs/s at bs=4 (reference predict.py:121),
     # measured at the reference's 512px default resolution. vs_baseline is
     # pixel-normalized so benches at other resolutions compare fairly:
@@ -195,16 +231,15 @@ def main():
         flush=True,
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"{model}_lora_train_imgs_per_sec_chip_{resolution}px_bs{batch_size}",
-                "value": round(imgs_per_sec, 3),
-                "unit": "imgs/s",
-                "vs_baseline": round(imgs_per_sec / anchor_at_res, 3),
-            }
-        )
-    )
+    out = {
+        "metric": f"{model}_lora_train_imgs_per_sec_chip_{resolution}px_bs{batch_size}",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / anchor_at_res, 3),
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,9 @@ def main():
     resolution = int(os.environ.get("BENCH_RES", "1024"))
     n_steps = int(os.environ.get("BENCH_STEPS_DIFFUSION", "25"))
     n_imgs = int(os.environ.get("BENCH_IMGS", "4"))
+    # batch: how many images per sampling call. render_images batches ALL
+    # validation prompts into one call, so the product path is batch=n_imgs.
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     latent = resolution // 8
 
     from sd_lora_trainer_tpu.inference import _sample
@@ -41,35 +44,44 @@ def main():
     )
     jax.block_until_ready(unet)
 
-    c = jax.random.normal(jax.random.fold_in(key, 2), (1, 77, 2048), jnp.float32)
-    uc = jax.random.normal(jax.random.fold_in(key, 3), (1, 77, 2048), jnp.float32)
-    pc = jax.random.normal(jax.random.fold_in(key, 4), (1, 1280), jnp.float32)
-    puc = jax.random.normal(jax.random.fold_in(key, 5), (1, 1280), jnp.float32)
-    add_ids = jnp.asarray([[1024, 1024, 0, 0, resolution, resolution]], jnp.float32)
-    latents = jax.random.normal(jax.random.fold_in(key, 6), (1, latent, latent, 4), jnp.float32)
+    c = jax.random.normal(jax.random.fold_in(key, 2), (batch, 77, 2048), jnp.float32)
+    uc = jax.random.normal(jax.random.fold_in(key, 3), (batch, 77, 2048), jnp.float32)
+    pc = jax.random.normal(jax.random.fold_in(key, 4), (batch, 1280), jnp.float32)
+    puc = jax.random.normal(jax.random.fold_in(key, 5), (batch, 1280), jnp.float32)
+    add_ids = jnp.tile(
+        jnp.asarray([[1024, 1024, 0, 0, resolution, resolution]], jnp.float32), (batch, 1)
+    )
+    latents = jax.random.normal(
+        jax.random.fold_in(key, 6), (batch, latent, latent, 4), jnp.float32
+    )
     pipe_static = (SDXL_UNET_CONFIG, "sdxl", None)
     decode = jax.jit(lambda z: vae_decode(vae, z.astype(jnp.bfloat16), SDXL_VAE_CONFIG))
 
-    print("[bench-inf] compiling...", flush=True)
+    print(f"[bench-inf] compiling (batch={batch})...", flush=True)
     t0 = time.time()
     z = _sample(pipe_static, unet, latents, c, uc, pc, puc, add_ids, n_steps, 8.0)
-    img = decode(z)
+    img = decode(z[:1])
     val = float(jnp.sum(img.astype(jnp.float32)))
     print(f"[bench-inf] compile+first render {time.time() - t0:.1f}s (chk {val:.1f})", flush=True)
 
+    n_calls = max(n_imgs // batch, 1)
     t0 = time.time()
-    for i in range(n_imgs):
+    for _ in range(n_calls):
         z = _sample(pipe_static, unet, latents, c, uc, pc, puc, add_ids, n_steps, 8.0)
-        img = decode(z)
+        for i in range(batch):
+            img = decode(z[i : i + 1])
     float(jnp.sum(img.astype(jnp.float32)))  # hard sync
     dt = time.time() - t0
 
-    per_img = dt / n_imgs
-    print(f"[bench-inf] {n_imgs} renders in {dt:.2f}s -> {per_img:.2f} s/img", flush=True)
+    per_img = dt / (n_calls * batch)
+    print(
+        f"[bench-inf] {n_calls} call(s) x batch {batch} in {dt:.2f}s -> {per_img:.2f} s/img",
+        flush=True,
+    )
     print(
         json.dumps(
             {
-                "metric": f"sdxl_render_seconds_per_image_{resolution}px_{n_steps}steps",
+                "metric": f"sdxl_render_seconds_per_image_{resolution}px_{n_steps}steps_batch{batch}",
                 "value": round(per_img, 3),
                 "unit": "s/img",
                 "vs_baseline": None,

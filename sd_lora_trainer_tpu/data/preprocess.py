@@ -293,8 +293,21 @@ def preprocess(
 
     n_training_imgs = len(images)
 
-    # (SwinIR super-resolution hook for small datasets would slot in here —
-    # reference preprocess.py:785-788; requires staged SR weights.)
+    # Swin2SR super-resolution for small low-res datasets (reference
+    # preprocess.py:785-788): <50 images -> upscale anything under 0.75x the
+    # train size. Gated on staged weights; degraded = loud + recorded.
+    from sd_lora_trainer_tpu.data.captioners import record_degradation
+    from sd_lora_trainer_tpu.data.super_resolution import maybe_upscale_small_dataset
+
+    images, sr_backend = maybe_upscale_small_dataset(images, config.train_img_size)
+    if sr_backend is None:
+        record_degradation(
+            "super_resolution", "swin2sr 4x upscale", "passthrough",
+            "dataset has <50 images below 0.75x train size but no Swin2SR "
+            "weights are staged under model_paths['SR']; training on "
+            "low-res originals",
+        )
+    config.training_attributes["sr_backend"] = sr_backend or "passthrough-degraded"
 
     if left_right_flip_augmentation:
         images = images + [img.transpose(Image.FLIP_LEFT_RIGHT) for img in images]

@@ -670,6 +670,10 @@ def train(config: TrainingConfig):
     config.training_attributes["final_losses"] = {
         k: [float(x) for x in v[-5:]] for k, v in losses.items()
     }
+    if config.debug:
+        # full per-step series for convergence analysis
+        # (scripts/convergence_run.py reads this from training_args.json)
+        config.training_attributes["loss_series"] = losses_as_floats()
     config.save_as_json(os.path.join(output_save_dir, "training_args.json"))
     print("Training job complete, saving outputs...", flush=True)
 

@@ -50,3 +50,26 @@ def test_eval_hyperparam_sweep(tmp_path):
     assert "unet_lr" in summary["per_param"]
     # higher jpg count scored first
     assert summary["runs"][0][1] >= summary["runs"][1][1]
+
+
+def test_old_eval_hyperparam_sweep(tmp_path):
+    # four runs: score correlates negatively with unet_lr -> regression finds it
+    for i, (lr, n_jpgs) in enumerate([(1e-4, 4), (3e-4, 3), (1e-3, 2), (3e-3, 0)]):
+        run = tmp_path / f"run_{i}"
+        run.mkdir()
+        (run / "training_args.json").write_text(json.dumps(
+            {"name": f"r{i}", "unet_lr": lr, "lora_rank": 16, "mode": "style"}))
+        for j in range(n_jpgs):
+            (run / f"img_{j}.jpg").write_bytes(b"\xff\xd8\xff\xd9")
+    r = subprocess.run(
+        [sys.executable, "scripts/old_eval_hyperparam_sweep.py", str(tmp_path),
+         "--plot"],
+        cwd=REPO, capture_output=True, text=True, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Best output_dir" in r.stdout and "run_0" in r.stdout
+    assert "unet_lr" in r.stdout and "R^2" in r.stdout
+    # constant params (lora_rank, mode) must not be analyzed
+    assert "lora_rank" not in r.stdout.split("Best")[-1]
+    plots = os.listdir(tmp_path / "sweep_analysis")
+    assert any("unet_lr" in p for p in plots)
