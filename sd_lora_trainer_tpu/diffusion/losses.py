@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -189,6 +189,27 @@ def stack_attention_maps(
     return jnp.stack(resized, axis=0)
 
 
+def _resized_spatial_mean_weights(
+    height: int, width: int, min_shape: Tuple[int, int]
+) -> jnp.ndarray:
+    """Per-pixel weights w s.t. <w, x.ravel()> == mean over pixels of
+    bicubic_resize(x, min_shape) — the spatial mean of a resized map is a
+    fixed linear functional of the raw map (resize is linear), so it can be
+    computed WITHOUT materializing the resized [B,h,w,77] tensors. Obtained by
+    transposing the resize against the uniform-mean covector."""
+    p = min_shape[0] * min_shape[1]
+    if (height, width) == min_shape:
+        return jnp.full((height * width,), 1.0 / p, jnp.float32)
+
+    def resize_flat(x):
+        return jax.image.resize(x.reshape(height, width), min_shape, method="bicubic").ravel()
+
+    (wvec,) = jax.linear_transpose(
+        resize_flat, jax.ShapeDtypeStruct((height * width,), jnp.float32)
+    )(jnp.full((p,), 1.0 / p, jnp.float32))
+    return wvec
+
+
 def token_attention_loss(
     attn_scores: Dict[str, jnp.ndarray],  # name -> [B, q_len, 77] fp32 scores
     mask: jnp.ndarray,  # [B, H, W, 1] latent-res mask
@@ -205,10 +226,47 @@ def token_attention_loss(
     Host-side caption analysis (token lengths, TI positions) is passed in as
     arrays so the whole thing traces under jit; samples whose captions lost the
     TI tokens are masked out (the reference `continue`s over them).
+
+    Memory note: mathematically equal to stacking all resized per-layer maps
+    ([L,B,h,w,77], the reference's DAAMLoss layout) and reducing — but that
+    stack's transpose picks catastrophic padded layouts on TPU (128x HBM
+    expansion seen at bs=8 1024px). Instead: term 0's spatial means are fixed
+    linear functionals of the raw scores (see _resized_spatial_mean_weights),
+    and the TI gather (3 tokens) commutes exactly with the spatial resize, so
+    only [B,h,w,n_ti] ever materializes.
     """
-    maps = stack_attention_maps(attn_scores, img_ratio)  # [L, B, h, w, T]
-    n_layers, batch, h, w, n_text = maps.shape
+    names = sorted(attn_scores.keys())
+    first = attn_scores[names[0]]
+    batch, _, n_text = first.shape
+    n_layers = len(names)
     n_ti = ti_token_positions.shape[1]
+    valid = jnp.all(ti_token_positions >= 0, axis=1)  # [B]
+    safe_pos = jnp.clip(ti_token_positions, 0, n_text - 1)  # [B, n_ti]
+
+    shapes = []
+    for name in names:
+        _, q_len, _ = attn_scores[name].shape
+        width = round(math.sqrt(q_len * img_ratio))
+        height = round(width / img_ratio)
+        assert height * width == q_len, (
+            f"attention map {name}: q_len={q_len} does not factor as "
+            f"{height}x{width} for img_ratio={img_ratio}"
+        )
+        shapes.append((height, width))
+    min_shape = min(shapes, key=lambda s: s[0] * s[1])
+    h, w = min_shape
+
+    mean_acc = jnp.zeros((batch, n_text), jnp.float32)
+    ti_acc = jnp.zeros((batch, h, w, n_ti), jnp.float32)
+    for name, (hl, wl) in zip(names, shapes):
+        score = attn_scores[name]  # [B, q, T]
+        wvec = _resized_spatial_mean_weights(hl, wl, min_shape)
+        mean_acc = mean_acc + jnp.einsum("bqt,q->bt", score, wvec)
+        g = jnp.take_along_axis(score, safe_pos[:, None, :], axis=2)  # [B,q,n_ti]
+        g = g.reshape(batch, hl, wl, n_ti)
+        if (hl, wl) != min_shape:
+            g = jax.image.resize(g, (batch, h, w, n_ti), method="bicubic")
+        ti_acc = ti_acc + g
 
     # Resize mask to heatmap resolution: [B, h, w]
     mask2 = jax.image.resize(mask.astype(jnp.float32), (batch, h, w, 1), method="nearest")
@@ -218,20 +276,14 @@ def token_attention_loss(
     # 1..len-2, i.e. between BOS and EOS) ---
     pos = jnp.arange(n_text)[None, :]  # [1, T]
     content = (pos >= 1) & (pos < (caption_token_lengths[:, None] - 1))  # [B, T]
-    mean_att_per_token = maps.mean(axis=(0, 2, 3))  # [B, T] (mean over layers+space)
+    mean_att_per_token = mean_acc / n_layers  # [B, T] (mean over layers+space)
     relu_sq = jax.nn.relu(mean_att_per_token) ** 2
     # per-sample mean over that sample's content tokens
     denom = jnp.maximum(content.sum(axis=1), 1)
     att_l2_per_sample = (relu_sq * content).sum(axis=1) / denom  # [B]
 
-    # --- TI-token heatmaps: gather positions, mean over layers ---
-    valid = jnp.all(ti_token_positions >= 0, axis=1)  # [B]
-    safe_pos = jnp.clip(ti_token_positions, 0, n_text - 1)  # [B, n_ti]
-    # maps: [L,B,h,w,T] -> per-sample gather over T
-    per_layer = jnp.take_along_axis(
-        maps, safe_pos[None, :, None, None, :], axis=4
-    )  # [L, B, h, w, n_ti]
-    ti_heatmaps = per_layer.mean(axis=0)  # [B, h, w, n_ti]
+    # --- TI-token heatmaps: mean over layers ---
+    ti_heatmaps = ti_acc / n_layers  # [B, h, w, n_ti]
     ti_heatmaps = jnp.moveaxis(ti_heatmaps, -1, 1)  # [B, n_ti, h, w]
     ti_masks = jnp.broadcast_to(mask2[:, None, :, :], ti_heatmaps.shape)
 

@@ -121,3 +121,47 @@ def test_token_attention_loss_masked_region_direction():
     mask_full = jnp.ones((1, 8, 8, 1))  # full mask: all attention "inside"
     loss_in = token_attention_loss(scores_hi_out, mask_full, 1.0, lengths, ti_pos)
     assert float(loss_out) > float(loss_in)
+
+
+def test_token_attention_loss_matches_stacked_reference():
+    """The streaming implementation (linear-functional spatial means + gather-
+    before-resize) must equal the direct stacked formulation: build
+    [L,B,h,w,T] with stack_attention_maps and reduce it the reference way."""
+    from sd_lora_trainer_tpu.diffusion.losses import stack_attention_maps
+
+    B, T, n_ti = 2, 77, 3
+    key = jax.random.PRNGKey(7)
+    scores = {
+        "down.0.attn2": jax.random.normal(key, (B, 256, T)) * 0.2,        # 16x16
+        "mid.attn2": jax.random.normal(jax.random.fold_in(key, 1), (B, 64, T)) * 0.2,  # 8x8
+        "up.1.attn2": jax.random.normal(jax.random.fold_in(key, 2), (B, 256, T)) * 0.2,
+    }
+    mask = (jax.random.uniform(jax.random.fold_in(key, 3), (B, 32, 32, 1)) > 0.5).astype(
+        jnp.float32
+    )
+    lengths = jnp.array([9, 14])
+    ti_pos = jnp.array([[1, 2, 3], [4, 5, 6]])
+
+    got = float(token_attention_loss(scores, mask, 1.0, lengths, ti_pos))
+
+    # --- direct stacked reference computation ---
+    maps = stack_attention_maps(scores, 1.0)  # [L,B,h,w,T]
+    L, _, h, w, _ = maps.shape
+    mask2 = jax.image.resize(mask, (B, h, w, 1), method="nearest")[..., 0]
+    pos = jnp.arange(T)[None, :]
+    content = (pos >= 1) & (pos < (lengths[:, None] - 1))
+    mean_att = maps.mean(axis=(0, 2, 3))
+    relu_sq = jax.nn.relu(mean_att) ** 2
+    att_l2 = (relu_sq * content).sum(axis=1) / jnp.maximum(content.sum(axis=1), 1)
+    per_layer = jnp.take_along_axis(maps, ti_pos[None, :, None, None, :], axis=4)
+    ti_heatmaps = jnp.moveaxis(per_layer.mean(axis=0), -1, 1)  # [B,n_ti,h,w]
+    ti_masks = jnp.broadcast_to(mask2[:, None], ti_heatmaps.shape)
+    token_means = ti_heatmaps.mean(axis=(2, 3))
+    var = jnp.var(token_means, axis=1, ddof=1)
+    want = float(
+        5.0 * att_l2.mean()
+        + jnp.sum(jax.nn.relu(ti_heatmaps * ti_masks) ** 2) / (B * n_ti * h * w)
+        + 2.0 * jnp.sum(jax.nn.relu(ti_heatmaps * (1 - ti_masks) + 10.0) ** 2) / (B * n_ti * h * w)
+        + var.mean()
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5)
