@@ -32,7 +32,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def main():
     model = os.environ.get("BENCH_MODEL", "sdxl")  # sdxl | sd15
-    batch_size = int(os.environ.get("BENCH_BS", "4"))
+    # bs=8 is the measured best at 1024px on one v5e chip (BENCH_NOTES.md);
+    # bs=16 OOMs, bs=4 leaves ~8% on the table.
+    batch_size = int(os.environ.get("BENCH_BS", "8" if model == "sdxl" else "4"))
     default_res = "1024" if model == "sdxl" else "512"
     resolution = int(os.environ.get("BENCH_RES", default_res))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))

@@ -20,11 +20,15 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-
 
 def summarize_xplane(trace_dir: str, top_n: int = 30):
-    """Parse captured .xplane.pb files; print per-op and per-category time."""
+    """Parse captured .xplane.pb files; print per-op and per-category time.
+
+    Uses TF's bundled xplane proto with the NATIVE (upb) protobuf
+    implementation — a full-model trace is ~2 GB and the pure-python parser
+    never finishes it. The sync 'XLA Ops' lane is the device critical path;
+    'Async XLA Ops' (prefetch copies) overlap it and are reported separately.
+    """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
@@ -37,45 +41,40 @@ def summarize_xplane(trace_dir: str, top_n: int = 30):
     for plane in xs.planes:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
-        op_time = defaultdict(int)
-        op_count = defaultdict(int)
-        total = 0
         for line in plane.lines:
-            # XLA op lines carry the per-op executions; skip module/step lines
-            if "XLA Op" not in line.name and "XLA Ops" not in line.name:
+            if line.name not in ("XLA Ops", "Async XLA Ops"):
                 continue
+            op_time = defaultdict(int)
+            op_count = defaultdict(int)
+            cat_time = defaultdict(int)
+            total = 0
             for e in line.events:
-                name = plane.event_metadata[e.metadata_id].name
+                name = plane.event_metadata[e.metadata_id].name.lstrip("%")
                 op_time[name] += e.duration_ps
                 op_count[name] += 1
                 total += e.duration_ps
-        if not op_time:
-            # fall back: aggregate every line
-            for line in plane.lines:
-                for e in line.events:
-                    name = plane.event_metadata[e.metadata_id].name
-                    op_time[name] += e.duration_ps
-                    op_count[name] += 1
-                    total += e.duration_ps
-        if not op_time:
-            continue
-
-        print(f"\n===== plane: {plane.name} (total device op time {total/1e12:.3f} s)")
-        cat_time = defaultdict(int)
-        for name, d in op_time.items():
-            m = re.match(r"([a-zA-Z\-_]+)", name)
-            cat = m.group(1).rstrip("._-0123456789") if m else "other"
-            cat_time[cat] += d
-        print("-- by category:")
-        for cat, d in sorted(cat_time.items(), key=lambda kv: -kv[1])[:12]:
-            print(f"  {cat:32s} {d/1e9:10.3f} ms  {100*d/total:5.1f}%")
-        print(f"-- top {top_n} ops:")
-        for name, d in sorted(op_time.items(), key=lambda kv: -kv[1])[:top_n]:
-            print(f"  {name[:90]:90s} {d/1e9:9.3f} ms x{op_count[name]:<5d} {100*d/total:5.1f}%")
+                m = re.match(r"([a-zA-Z\-_]+)", name)
+                cat_time[m.group(1).rstrip("._-0123456789") if m else "other"] += e.duration_ps
+            if not total:
+                continue
+            print(f"\n===== {plane.name} / {line.name}: total {total/1e12:.3f} s")
+            print("-- by category:")
+            for cat, d in sorted(cat_time.items(), key=lambda kv: -kv[1])[:14]:
+                print(f"  {cat:36s} {d/1e9:10.1f} ms  {100*d/total:5.1f}%")
+            if line.name == "XLA Ops":
+                print(f"-- top {top_n} ops:")
+                for name, d in sorted(op_time.items(), key=lambda kv: -kv[1])[:top_n]:
+                    print(f"  {name[:95]:95s} {d/1e9:8.1f} ms x{op_count[name]:<5d}")
 
 
 def main():
     trace_dir = os.environ.get("PROFILE_DIR", "/tmp/sd_profile")
+
+    # Summarize-only mode: analyze a trace captured earlier.
+    if len(sys.argv) > 1 and sys.argv[1] == "--summarize":
+        summarize_xplane(sys.argv[2] if len(sys.argv) > 2 else trace_dir)
+        return
+
     os.makedirs(trace_dir, exist_ok=True)
 
     import jax
