@@ -32,9 +32,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def main():
     model = os.environ.get("BENCH_MODEL", "sdxl")  # sdxl | sd15
-    # bs=8 is the measured best at 1024px on one v5e chip (BENCH_NOTES.md);
-    # bs=16 OOMs, bs=4 leaves ~8% on the table.
-    batch_size = int(os.environ.get("BENCH_BS", "8" if model == "sdxl" else "4"))
+    # bs=8 is the measured best for both models on one v5e chip
+    # (BENCH_NOTES.md): sdxl@1024 3.79 imgs/s (bs16 OOMs), sd15@512 21.9
+    # imgs/s (bs16 is flat at 21.5).
+    batch_size = int(os.environ.get("BENCH_BS", "8"))
     default_res = "1024" if model == "sdxl" else "512"
     resolution = int(os.environ.get("BENCH_RES", default_res))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))

@@ -68,6 +68,7 @@ def main():
     t0 = time.time()
     for _ in range(n_calls):
         z = _sample(pipe_static, unet, latents, c, uc, pc, puc, add_ids, n_steps, 8.0)
+        # decode per image — batch-4 decode at 1024px OOMs 16 GB HBM
         for i in range(batch):
             img = decode(z[i : i + 1])
     float(jnp.sum(img.astype(jnp.float32)))  # hard sync

@@ -376,6 +376,9 @@ def render_images(
     )
     from PIL import Image
 
+    # Decode per image: the VAE decoder's activations at 1024px are ~GBs per
+    # sample — a batch-4 decode blows 16 GB HBM (measured RESOURCE_EXHAUSTED),
+    # while the sampling loop above is safely batched (latent-res activations).
     for i in range(n):
         img = decode(z[i : i + 1])
         arr = np.asarray((jnp.clip(img[0], -1, 1) + 1) * 127.5).astype(np.uint8)
