@@ -143,7 +143,21 @@ def main():
         opt_state=jax.jit(optimizer.init)(trainable),
         key=jax.random.PRNGKey(1),
     )
-    step_fn = jax.jit(make_train_step(sc, optimizer), donate_argnums=(0,))
+    # BENCH_SCAN=K runs K train steps per jitted call via lax.scan over a
+    # stacked batch — measures how much per-dispatch overhead (tunnel RPC +
+    # host work) a scan-of-steps loop would reclaim.
+    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    core_step = make_train_step(sc, optimizer)
+    if scan_k > 1:
+        def multi_step(state, batches, frozen):
+            # frozen is a tracer argument of this jitted fn, so closing over
+            # it in the scan body is fine (no constant capture).
+            return jax.lax.scan(lambda st, b: core_step(st, b, frozen), state, batches)
+
+        step_fn = jax.jit(multi_step, donate_argnums=(0,))
+        print(f"[bench] scan mode: {scan_k} steps per call", flush=True, file=sys.stderr)
+    else:
+        step_fn = jax.jit(core_step, donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
     ids = np.full((1, batch_size, 77), 49407, np.int32)
@@ -160,6 +174,8 @@ def main():
         "ti_token_positions": jnp.tile(jnp.asarray([[3, 4, 5]]), (1, batch_size, 1)),
         "latent_scale": jnp.float32(0.13025),
     }
+    if scan_k > 1:
+        batch = jax.tree.map(lambda x: jnp.stack([x] * scan_k), batch)
 
     # Program FLOPs for MFU: lower+compile AOT (shares the persistent cache
     # with the jit call below) and read XLA's cost analysis. Runs BEFORE the
@@ -181,19 +197,24 @@ def main():
     # one more warmup step post-compile (also catches silent recompiles).
     # Synchronize by FETCHING the loss value — block_until_ready alone has
     # proven unreliable on the experimental axon platform.
-    t0 = time.time()
-    state, metrics = step_fn(state, batch, frozen)
-    loss_val = float(metrics["tot_loss"])
-    print(f"[bench] second step took {time.time() - t0:.2f}s (loss={loss_val:.4f})", flush=True, file=sys.stderr)
+    def last_loss(m):
+        return float(jnp.ravel(m["tot_loss"])[-1])
 
     t0 = time.time()
-    for i in range(n_steps):
+    state, metrics = step_fn(state, batch, frozen)
+    loss_val = last_loss(metrics)
+    print(f"[bench] second step took {time.time() - t0:.2f}s (loss={loss_val:.4f})", flush=True, file=sys.stderr)
+
+    n_calls = max(n_steps // scan_k, 1)
+    t0 = time.time()
+    for i in range(n_calls):
         state, metrics = step_fn(state, batch, frozen)
         if i < 3:
-            print(f"[bench] step {i}: loss={float(metrics['tot_loss']):.4f} "
+            print(f"[bench] call {i}: loss={last_loss(metrics):.4f} "
                   f"({time.time() - t0:.2f}s cumulative)", flush=True, file=sys.stderr)
-    final_loss = float(metrics["tot_loss"])  # host fetch = hard sync
+    final_loss = last_loss(metrics)  # host fetch = hard sync
     dt = time.time() - t0
+    n_steps = n_calls * scan_k
     print(f"[bench] final loss: {final_loss:.4f}", flush=True, file=sys.stderr)
 
     imgs_per_sec = batch_size * n_steps / dt
@@ -213,6 +234,7 @@ def main():
         ]
         peak = next((p for pat, p in peak_map if pat in kind), None)
         if peak:
+            step_flops = step_flops / scan_k  # AOT program = one call = scan_k steps
             mfu = step_flops / (dt / n_steps) / peak
             print(
                 f"[bench] step FLOPs {step_flops/1e12:.2f} TF, "
