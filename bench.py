@@ -144,9 +144,10 @@ def main():
         key=jax.random.PRNGKey(1),
     )
     # BENCH_SCAN=K runs K train steps per jitted call via lax.scan over a
-    # stacked batch — measures how much per-dispatch overhead (tunnel RPC +
-    # host work) a scan-of-steps loop would reclaim.
-    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    # stacked batch — mirroring the product train loop's steps_per_call
+    # (config default 4; equivalence pinned by tests/test_steps_per_call.py).
+    # Measured +8% at bs=8 @1024px over single-step dispatch.
+    scan_k = int(os.environ.get("BENCH_SCAN", "4"))
     core_step = make_train_step(sc, optimizer)
     if scan_k > 1:
         def multi_step(state, batches, frozen):
@@ -234,7 +235,9 @@ def main():
         ]
         peak = next((p for pat, p in peak_map if pat in kind), None)
         if peak:
-            step_flops = step_flops / scan_k  # AOT program = one call = scan_k steps
+            # XLA's cost_analysis reports while-loop body FLOPs once (not
+            # x trip count), so the scanned program's number already IS the
+            # per-step figure.
             mfu = step_flops / (dt / n_steps) / peak
             print(
                 f"[bench] step FLOPs {step_flops/1e12:.2f} TF, "

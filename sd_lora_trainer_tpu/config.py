@@ -170,6 +170,12 @@ class TrainingConfig(BaseModel):
     # (bucketed runs switch shapes mid-epoch; each shape is its own XLA
     # program and compiles can take minutes).
     prewarm_compile: bool = True
+    # Run K optimizer steps per jitted call (lax.scan over a K-stacked batch):
+    # amortizes per-dispatch overhead — measured +8% imgs/s on a tunneled v5e
+    # at SDXL bs=8 @1024px. Falls back to 1 under aspect_ratio_bucketing
+    # (shapes must be uniform within a call) and debug (per-step traces).
+    # max_train_steps is rounded UP to a multiple of K.
+    steps_per_call: int = 4
     # Save orbax train state for mid-run resume (the reference cannot resume).
     save_train_state: bool = False
     resume_from: Optional[str] = None

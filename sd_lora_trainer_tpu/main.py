@@ -285,7 +285,27 @@ def train(config: TrainingConfig):
         import dataclasses as _dc
 
         sc = _dc.replace(sc, use_flash=False)
-    step_fn = jax.jit(make_train_step(sc, optimizer), donate_argnums=(0,))
+    # steps_per_call: K optimizer steps per jitted call (scan over a stacked
+    # batch) — amortizes dispatch overhead; results are bit-identical to K=1
+    # (per-step PRNG keys derive from the scanned step counter; equivalence
+    # pinned by tests/test_steps_per_call.py). Falls back to 1 when shapes
+    # can vary per call (bucketing) or per-step traces matter (debug).
+    steps_per_call = max(int(config.steps_per_call), 1)
+    if steps_per_call > 1 and (config.aspect_ratio_bucketing or config.debug):
+        reason = "aspect_ratio_bucketing" if config.aspect_ratio_bucketing else "debug"
+        print(f"[steps_per_call] {reason} needs per-step granularity; using 1")
+        steps_per_call = 1
+
+    core_step = make_train_step(sc, optimizer)
+    if steps_per_call > 1:
+        def _multi_step(st, batches, fr):
+            # fr is a tracer argument of the jitted fn — closing over it in
+            # the scan body is fine (no constant capture)
+            return jax.lax.scan(lambda s, b: core_step(s, b, fr), st, batches)
+
+        step_fn = jax.jit(_multi_step, donate_argnums=(0,))
+    else:
+        step_fn = jax.jit(core_step, donate_argnums=(0,))
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles
@@ -355,12 +375,12 @@ def train(config: TrainingConfig):
             key=jax.device_put(state.key, rep),
         )
 
-    def put_batch(batch):
+    def put_batch(batch, leading: int = 1):
         if mesh is None:
             return batch
         from sd_lora_trainer_tpu.parallel.sharding import shard_batch_tree
 
-        return shard_batch_tree(batch, mesh)
+        return shard_batch_tree(batch, mesh, leading=leading)
 
     checkpoint_dir = os.path.join(str(config.output_dir), "checkpoints")
     if os.path.exists(checkpoint_dir):
@@ -594,19 +614,43 @@ def train(config: TrainingConfig):
         for _ in range(resume_step):
             assemble_batch()
 
-    while global_step < config.max_train_steps:
-        batch = put_batch(assemble_batch())
+    # steps_per_call rounds the run length UP to a K multiple so every call
+    # has the same compiled shape (K=1 leaves it untouched)
+    effective_max = -(-config.max_train_steps // steps_per_call) * steps_per_call
+    if effective_max != config.max_train_steps:
+        print(
+            f"[steps_per_call] rounding max_train_steps "
+            f"{config.max_train_steps} -> {effective_max} (multiple of {steps_per_call})"
+        )
+
+    def crossed(stride: int) -> bool:
+        """Did this call's K steps cross a multiple of `stride`?"""
+        prev = global_step - steps_per_call
+        return (global_step // stride) > (prev // stride)
+
+    while global_step < effective_max:
+        if steps_per_call > 1:
+            drawn = [assemble_batch() for _ in range(steps_per_call)]
+            batch = {k: np.stack([b[k] for b in drawn]) for k in drawn[0]}
+            batch = put_batch(batch, leading=2)
+        else:
+            batch = put_batch(assemble_batch())
         state, metrics = step_fn(state, batch, frozen)
-        global_step += 1
-        images_done += config.train_batch_size * accum
+        global_step += steps_per_call
+        images_done += config.train_batch_size * accum * steps_per_call
 
         for k, v in metrics.items():
-            # keep the device scalar — float() here would force a device sync
+            # keep the device scalars — float() here would force a device sync
             # every step and serialize host batch-prep against device compute;
-            # values are pulled to host lazily at checkpoint/plot time
-            losses.setdefault(k, []).append(v)
+            # values are pulled to host lazily at checkpoint/plot time.
+            # (scan mode: v is a [K] device array; index lazily too)
+            seq = losses.setdefault(k, [])
+            if steps_per_call > 1:
+                seq.extend(v[i] for i in range(steps_per_call))
+            else:
+                seq.append(v)
 
-        if global_step % 64 == 0:
+        if crossed(64):
             # bulk-drain accumulated device scalars to host floats in one
             # transfer: bounds live device buffers on long runs without
             # putting a sync on the per-step critical path (the drained
@@ -630,7 +674,7 @@ def train(config: TrainingConfig):
                 for i, s in enumerate(stds):
                     token_stds.setdefault(f"{which}_token_{i}", []).append(float(s))
 
-        if global_step % config.checkpointing_steps == 0 and global_step < (
+        if crossed(config.checkpointing_steps) and global_step < (
             config.max_train_steps - 25
         ):
             fps = images_done / (time.time() - start_time)
@@ -642,13 +686,13 @@ def train(config: TrainingConfig):
             validation_prompts = do_render(output_save_dir)
             last_save_step = global_step
 
-        if config.save_train_state and global_step % config.checkpointing_steps == 0:
+        if config.save_train_state and crossed(config.checkpointing_steps):
             # rolling resume state at a fixed path, refreshed every
             # checkpoint interval WITHOUT the reference's near-end guard:
             # crash recovery needs a state that exists before the end
             save_train_state(os.path.join(str(config.output_dir), "train_state"), state)
 
-        if global_step % progress_stride == 0:
+        if crossed(progress_stride):
             yield min(global_step / config.max_train_steps + 0.05, 1.0)
 
     # ---- final save (reference main.py:466-547) ----

@@ -36,18 +36,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the per-microbatch batch dim: arrays are [accum, B, ...]."""
-    return NamedSharding(mesh, P(None, axis_name))
+def batch_sharding(mesh: Mesh, axis_name: str = "data", leading: int = 1) -> NamedSharding:
+    """Shard the per-microbatch batch dim. Arrays are [accum, B, ...] with
+    `leading`=1, or [K, accum, B, ...] with `leading`=2 (steps_per_call
+    stacking) — the B axis sits after `leading` unsharded axes."""
+    return NamedSharding(mesh, P(*([None] * leading), axis_name))
 
 
-def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data"):
-    """Apply batch sharding to every [accum, B, ...] leaf; scalars replicate."""
-    bsh = batch_sharding(mesh, axis_name)
+def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data", leading: int = 1):
+    """Apply batch sharding to every batch leaf; scalars/small leaves replicate."""
+    bsh = batch_sharding(mesh, axis_name, leading)
     rep = replicated(mesh)
 
     def put(x):
-        if getattr(x, "ndim", 0) >= 2:
+        if getattr(x, "ndim", 0) >= leading + 1:
             return jax.device_put(x, bsh)
         return jax.device_put(x, rep)
 

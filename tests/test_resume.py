@@ -104,6 +104,10 @@ def test_interrupt_resume_equals_uninterrupted(tiny_env):
         checkpointing_steps=4, n_sample_imgs=1, lora_rank=4,
         skip_gpt_cleanup=True, augment_imgs_up_to_n=0,
         save_train_state=True,
+        # the simulated crash needs step-granular yields; B and C below run
+        # with the default steps_per_call (also proving K-mixed resume
+        # equivalence: B resumes A's K=1 state under K>1)
+        steps_per_call=1,
         output_dir=str(tiny_env["root"] / "runs_resA"),
     )
     gen = train(cfg_a)
