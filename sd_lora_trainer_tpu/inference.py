@@ -119,23 +119,28 @@ def compute_token_scale(lora_scale: float, power: float = 0.4, min_scale: float 
     return min_scale + (1.0 - min_scale) * (lora_scale**power)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _clip_fwd(params, ids, ti, config):
+    """Jitted text-encoder forward — eager per-op dispatch of the 12/32-layer
+    CLIP towers is seconds of pure RPC latency over a tunneled TPU."""
+    return clip_text_forward(params, ids, config, ti_embeddings=ti, dtype=jnp.float32)
+
+
 def _encode(pipe: InferencePipeline, prompts: List[str], resolution: Tuple[int, int]):
     """Encode a prompt batch -> (prompt_embeds, pooled, add_time_ids)."""
     ti1 = pipe.ti_rows[0] if pipe.ti_rows else None
     ids1 = jnp.asarray(pipe.tokenizer_1(prompts), jnp.int32)
-    o1 = clip_text_forward(
-        pipe.te1_params, ids1, pipe.te1_config,
-        ti_embeddings=jnp.asarray(ti1) if ti1 is not None else None,
-        dtype=jnp.float32,
+    o1 = _clip_fwd(
+        pipe.te1_params, ids1,
+        jnp.asarray(ti1) if ti1 is not None else None, pipe.te1_config,
     )
     if pipe.version == "sd15":
         return o1["last"], None, None
     ti2 = pipe.ti_rows[1] if pipe.ti_rows and len(pipe.ti_rows) > 1 else None
     ids2 = jnp.asarray(pipe.tokenizer_2(prompts), jnp.int32)
-    o2 = clip_text_forward(
-        pipe.te2_params, ids2, pipe.te2_config,
-        ti_embeddings=jnp.asarray(ti2) if ti2 is not None else None,
-        dtype=jnp.float32,
+    o2 = _clip_fwd(
+        pipe.te2_params, ids2,
+        jnp.asarray(ti2) if ti2 is not None else None, pipe.te2_config,
     )
     embeds = jnp.concatenate([o1["penultimate"], o2["penultimate"]], axis=-1)
     w, h = resolution
