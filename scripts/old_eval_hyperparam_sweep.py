@@ -61,7 +61,13 @@ def analyze(runs, ignore_threshold_relative: float = 0.0):
     results = {}
     for param, data in parameters.items():
         scores = np.asarray(data["scores"], np.float64)
-        keep = scores > ignore_threshold_relative * scores.max() if len(scores) else []
+        if len(scores) and ignore_threshold_relative > 0:
+            # only an explicit threshold filters; with the default 0.0 every
+            # run is kept — zero-score runs (the worst configs) are exactly
+            # the most informative datapoints for the regression
+            keep = scores > ignore_threshold_relative * scores.max()
+        else:
+            keep = np.ones(len(scores), bool)
         values = [v for v, k in zip(data["values"], keep) if k]
         scores = scores[keep]
         if len(values) < 2:

@@ -100,10 +100,15 @@ def _mediapipe_masks(images, blur_amount, bias):
         if detection.detections:
             d = detection.detections[0]
             bb = d.location_data.relative_bounding_box
-            x, y = max(0, int(bb.xmin * iw)), max(0, int(bb.ymin * ih))
+            # mediapipe can emit out-of-range relative coords for faces at
+            # the image edge; clamp AND require a non-empty crop — a 0-size
+            # array would make face_mesh.process raise, not return empty.
+            x, y = min(max(0, int(bb.xmin * iw)), iw - 1), min(max(0, int(bb.ymin * ih)), ih - 1)
             w = min(iw - x, int(bb.width * iw))
             h = min(ih - y, int(bb.height * ih))
-            landmarks = face_mesh.process(image_np[y : y + h, x : x + w]).multi_face_landmarks
+            landmarks = None
+            if w > 0 and h > 0:
+                landmarks = face_mesh.process(image_np[y : y + h, x : x + w]).multi_face_landmarks
             if landmarks:
                 pts = [
                     (int(landmarks[0].landmark[i].x * w) + x,

@@ -23,7 +23,13 @@ from typing import List, Optional, Tuple
 import numpy as np
 from PIL import Image, ImageChops, ImageEnhance, ImageFilter
 
-from sd_lora_trainer_tpu.data.captioners import caption_dataset, generate_masks
+from sd_lora_trainer_tpu.data.captioners import (
+    DEGRADATIONS,
+    caption_dataset,
+    generate_masks,
+    record_degradation,
+    reset_degradations,
+)
 from sd_lora_trainer_tpu.data.io import (
     IMG_EXTENSIONS,
     load_image_with_orientation,
@@ -159,13 +165,11 @@ def post_process_captions(
         try:
             return _gpt_cleanup(captions, caption_text, concept_mode, seed)
         except Exception as e:  # degrade gracefully, like the reference retry-exhaustion path
-            from sd_lora_trainer_tpu.data.captioners import record_degradation
 
             record_degradation(
                 "caption_cleanup", "gpt-4o rewrite", "prefix injection", str(e)
             )
     elif not skip_gpt_cleanup:
-        from sd_lora_trainer_tpu.data.captioners import record_degradation
 
         record_degradation(
             "caption_cleanup", "gpt-4o rewrite", "prefix injection",
@@ -240,7 +244,6 @@ def preprocess(
     """Full curation pipeline; returns (config, output_dir)
     (reference: trainer/preprocess.py:66-118 + load_and_save_masks_and_captions)."""
     random.seed(seed)
-    from sd_lora_trainer_tpu.data.captioners import DEGRADATIONS, reset_degradations
 
     reset_degradations()
     temp_in = os.path.join(working_directory, "images_in")
@@ -296,7 +299,6 @@ def preprocess(
     # Swin2SR super-resolution for small low-res datasets (reference
     # preprocess.py:785-788): <50 images -> upscale anything under 0.75x the
     # train size. Gated on staged weights; degraded = loud + recorded.
-    from sd_lora_trainer_tpu.data.captioners import record_degradation
     from sd_lora_trainer_tpu.data.super_resolution import maybe_upscale_small_dataset
 
     images, sr_backend = maybe_upscale_small_dataset(images, config.train_img_size)
@@ -340,7 +342,6 @@ def preprocess(
     if use_face_detection_instead:
         # face mode: dedicated face-localization chain
         # (reference: face_mask_google_mediapipe, preprocess.py:1033-1160)
-        from sd_lora_trainer_tpu.data.captioners import record_degradation
         from sd_lora_trainer_tpu.data.face_masks import generate_face_masks
 
         seg_masks, face_backend = generate_face_masks(images, blur_amount=0.0, bias=10.0)

@@ -159,9 +159,14 @@ def encode_prompt_advanced(
     resolution: Tuple[int, int],
     token_scale: Optional[float] = None,
     concept_mode: Optional[str] = None,
+    negative_cache: Optional[Tuple] = None,
 ):
     """Blend trained-token and token-free conditionings
-    (reference: trainer/inference.py:230-286)."""
+    (reference: trainer/inference.py:230-286).
+
+    `negative_cache`: precomputed (uc, puc) — callers rendering several
+    prompts encode the (identical) negative prompt once instead of per call.
+    """
     if lora_path and token_scale != 0:
         lora_prompt = prepare_prompt_for_lora(prompt, lora_path)
     else:
@@ -171,7 +176,10 @@ def encode_prompt_advanced(
 
     c2, pc2, add_ids = _encode(pipe, [lora_prompt], resolution)
     c1, pc1, _ = _encode(pipe, [zero_prompt], resolution)
-    uc, puc, _ = _encode(pipe, [negative_prompt], resolution)
+    if negative_cache is not None:
+        uc, puc = negative_cache
+    else:
+        uc, puc, _ = _encode(pipe, [negative_prompt], resolution)
 
     if token_scale is None:
         token_scale = compute_token_scale(lora_scale)
@@ -357,11 +365,13 @@ def render_images(
     # utilization, identical per-prompt results (conditioning and the initial
     # latent are still drawn per prompt).
     cs, pcs, latents_list = [], [], []
-    uc = puc = add_ids = None
+    add_ids = None
+    uc, puc, _ = _encode(pipe, [NEGATIVE_PROMPT], (w, h))  # shared across prompts
     for prompt in prompts:
         c, uc, pc, puc, add_ids = encode_prompt_advanced(
             pipe, lora_path, prompt, NEGATIVE_PROMPT, lora_scale, (w, h),
             token_scale=0 if disable_ti else None, concept_mode=concept_mode,
+            negative_cache=(uc, puc),
         )
         cs.append(c)
         pcs.append(pc)

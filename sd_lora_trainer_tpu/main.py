@@ -360,14 +360,26 @@ def train(config: TrainingConfig):
             opt_sh = jax.tree.map(lambda _: rep, state.opt_state)
         else:
             # fsdp: optimizer moments mirror param shapes, so the same
-            # largest-divisible-axis spec applies; scalar counts replicate.
+            # largest-divisible-axis spec applies — but only for moments of
+            # the fsdp-sharded group (unet). Moments of replicated groups
+            # (ti rows, te-lora) must stay replicated like their params, or
+            # GSPMD reshards them every step. fsdp_spec depends only on the
+            # shape, so group membership is recovered by shape matching.
             # device_put (not re-init) so restored moments survive resume.
             from sd_lora_trainer_tpu.parallel.sharding import fsdp_spec
             from jax.sharding import NamedSharding
 
-            opt_sh = jax.tree.map(
-                lambda x: NamedSharding(mesh, fsdp_spec(x, mesh)), state.opt_state
-            )
+            fsdp_shapes = {
+                tuple(x.shape) for x in jax.tree.leaves(trainable.get("unet", {}))
+            }
+
+            def _opt_spec(x):
+                shape = tuple(getattr(x, "shape", ()))
+                if shape and shape in fsdp_shapes:
+                    return NamedSharding(mesh, fsdp_spec(x, mesh))
+                return rep
+
+            opt_sh = jax.tree.map(_opt_spec, state.opt_state)
         state = TrainState(
             step=jax.device_put(state.step, rep),
             trainable=jax.tree.map(jax.device_put, state.trainable, t_sh),
@@ -615,12 +627,16 @@ def train(config: TrainingConfig):
             assemble_batch()
 
     # steps_per_call rounds the run length UP to a K multiple so every call
-    # has the same compiled shape (K=1 leaves it untouched)
-    effective_max = -(-config.max_train_steps // steps_per_call) * steps_per_call
+    # has the same compiled shape (K=1 leaves it untouched). Anchored at the
+    # RESUME step: a state saved at a non-K-multiple step (e.g. written by a
+    # K=1 debug run) must not make the loop overshoot past the horizon by a
+    # partial call — the K grid starts wherever we resumed.
+    remaining = max(config.max_train_steps - resume_step, 0)
+    effective_max = resume_step + -(-remaining // steps_per_call) * steps_per_call
     if effective_max != config.max_train_steps:
         print(
-            f"[steps_per_call] rounding max_train_steps "
-            f"{config.max_train_steps} -> {effective_max} (multiple of {steps_per_call})"
+            f"[steps_per_call] rounding horizon {config.max_train_steps} -> "
+            f"{effective_max} ({resume_step} + multiple of {steps_per_call})"
         )
 
     def crossed(stride: int) -> bool:

@@ -102,10 +102,12 @@ def collective_stats(compiled) -> dict:
     except Exception:
         return {}
     # result shapes: `= f32[128,4]{1,0} all-reduce(` or tuple results
-    # `= (f32[128]{0}, /*index=1*/f32[64]{0}) all-gather-start(` — note long
-    # tuples carry `/*index=N*/` comments, so only `)` terminates the shape.
+    # `= (f32[128]{0}, /*index=1*/f32[64]{0}) all-gather-start(`. TPU
+    # post-optimization HLO additionally carries tiled layouts with parens,
+    # e.g. `f32[8,128]{1,0:T(8,128)}` — so the shape part is matched lazily
+    # up to the op name on the same line rather than by paren counting.
     op_re = re.compile(
-        r"=\s+(\(?[a-z0-9_]+\[[0-9,]*\][^)]*?\)?)\s+"
+        r"=\s+(.+?)\s+"
         r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
         r"(-start)?\("
     )
