@@ -77,8 +77,11 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp
         pad = [(0, 0), (0, 0), (0, 0), (0, padded - head_dim)]
         qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
 
+    # Measured on v5e at [8,10,4096,64] fwd+grad: block_k=1024 beats 512 by
+    # ~13% (fewer KV re-reads per q block); block_q stays 512 (2048 was a
+    # wash, 256 regressed). Both clamp to the sequence length.
     blk_q = min(512, lq)
-    blk_k = min(512, lk)
+    blk_k = min(1024, lk)
     block_sizes = BlockSizes(
         block_q=blk_q,
         block_k_major=blk_k,
