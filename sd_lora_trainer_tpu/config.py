@@ -163,7 +163,11 @@ class TrainingConfig(BaseModel):
     # Data-parallel size; 0/None = use all local devices.
     mesh_data_parallel: int = 0
     # FSDP parameter sharding for full-finetune runs ("dp" | "fsdp").
-    sharding_mode: Literal["dp", "fsdp"] = "dp"
+    sharding_mode: Literal["dp", "fsdp", "tp"] = "dp"
+    # Tensor-parallel width for sharding_mode="tp" (2-D data x model mesh;
+    # Megatron-style sharding of the UNet attention/ff projections). TP runs
+    # use einsum attention (the Pallas flash kernel has no SPMD partitioner).
+    mesh_model_parallel: int = 2
     # Rematerialization policy for the UNet blocks under jit.
     remat: bool = True
     # Pre-compile the train step for every bucket resolution before the loop

@@ -18,6 +18,7 @@ identical behavior at the default N=1).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import os
@@ -285,6 +286,14 @@ def train(config: TrainingConfig):
         import dataclasses as _dc
 
         sc = _dc.replace(sc, use_flash=False)
+    if config.sharding_mode == "tp" and sc.use_flash:
+        import dataclasses as _dc
+
+        # the Pallas flash custom call has no SPMD partitioning rules: under
+        # tensor parallelism it would force full replication of Q/K/V —
+        # einsum attention partitions cleanly along the head axis instead
+        print("[sharding] tp mode: flash attention disabled (einsum partitions)")
+        sc = _dc.replace(sc, use_flash=False)
     # steps_per_call: K optimizer steps per jitted call (scan over a stacked
     # batch) — amortizes dispatch overhead; results are bit-identical to K=1
     # (per-step PRNG keys derive from the scanned step counter; equivalence
@@ -344,7 +353,53 @@ def train(config: TrainingConfig):
     # trainable unet + optimizer state shard across the same axis.
     mesh = None
     n_devices = config.mesh_data_parallel or len(jax.local_devices())
-    if n_devices > 1 and (config.train_batch_size % n_devices == 0):
+    if config.sharding_mode == "tp":
+        # 2-D data x model mesh: batch on 'data', the frozen UNet's
+        # attention/ff projections Megatron-sharded on 'model'
+        n_model = max(int(config.mesh_model_parallel), 1)
+        n_data = n_devices // n_model
+        tp_ok = (
+            config.is_lora  # tp shards the FROZEN base; full finetune uses fsdp
+            and n_model > 1
+            and n_devices % n_model == 0
+            and (n_data == 1 or config.train_batch_size % n_data == 0)
+        )
+        if tp_ok:
+            from sd_lora_trainer_tpu.parallel.sharding import (
+                create_mesh_2d,
+                replicated,
+                shard_batch_tree,
+                trainable_shardings,
+                unet_tp_shardings,
+            )
+
+            mesh = create_mesh_2d(n_data, n_model)
+            print(f"[sharding] tp over mesh {mesh}")
+            frozen = dataclasses.replace(
+                frozen,
+                unet_params=jax.tree.map(
+                    jax.device_put,
+                    frozen.unet_params,
+                    unet_tp_shardings(frozen.unet_params, mesh),
+                ),
+            )
+            # adapters/TI and their optimizer state replicate (MBs); the
+            # frozen base is what shards under tp
+            t_sh = trainable_shardings(trainable, mesh, mode="tp")
+            rep = replicated(mesh)
+            state = TrainState(
+                step=jax.device_put(state.step, rep),
+                trainable=jax.tree.map(jax.device_put, state.trainable, t_sh),
+                opt_state=jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state),
+                key=jax.device_put(state.key, rep),
+            )
+        else:
+            print(
+                f"[sharding] tp requested but devices={n_devices} / "
+                f"model={n_model} / batch={config.train_batch_size} do not "
+                "divide; running unsharded"
+            )
+    elif n_devices > 1 and (config.train_batch_size % n_devices == 0):
         from sd_lora_trainer_tpu.parallel.sharding import (
             create_mesh,
             replicated,

@@ -133,9 +133,10 @@ def collective_stats(compiled) -> dict:
 
 
 def trainable_shardings(trainable, mesh: Mesh, mode: str = "dp", axis_name: str = "data"):
-    """Sharding tree for the trainable pytree: dp=replicate everything,
+    """Sharding tree for the trainable pytree: dp/tp=replicate everything
+    (adapters are MBs; under tp the FROZEN base is what shards),
     fsdp=shard the full-finetune unet group, replicate adapters/TI."""
-    if mode == "dp":
+    if mode in ("dp", "tp"):
         return replicated_shardings(trainable, mesh)
     out = {}
     for group, sub in trainable.items():
@@ -144,3 +145,68 @@ def trainable_shardings(trainable, mesh: Mesh, mode: str = "dp", axis_name: str 
         else:
             out[group] = replicated_shardings(sub, mesh)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (optional; SURVEY §2.4 "2-way sharding of attention
+# heads"). Megatron-style specs for the UNet transformer blocks: QKV and the
+# GEGLU up-projection are column-sharded (attention heads / ff channels split
+# across the 'model' axis), the output/down projections row-sharded so XLA
+# inserts one psum per block. Convs, norms, time embeddings replicate — at
+# SD scale they are not worth sharding. NOTE: the Pallas flash-attention
+# custom call has no SPMD partitioning rules, so TP runs use einsum
+# attention (train() gates this).
+# ---------------------------------------------------------------------------
+
+_TP_ATTN_COL = ("to_q", "to_k", "to_v")
+
+
+def create_mesh_2d(
+    n_data: int, n_model: int, axis_names=("data", "model")
+) -> Mesh:
+    """2-D mesh: batch on 'data', tensor-parallel shards on 'model'."""
+    devices = jax.devices()[: n_data * n_model]
+    assert len(devices) == n_data * n_model, (
+        f"need {n_data * n_model} devices, have {len(jax.devices())}"
+    )
+    return Mesh(np.array(devices).reshape(n_data, n_model), axis_names=axis_names)
+
+
+def unet_tp_spec(path, leaf, mesh: Mesh, axis_name: str = "model") -> P:
+    """PartitionSpec for one UNet param leaf under tensor parallelism."""
+    n = mesh.shape[axis_name]
+    keys = [getattr(k, "key", getattr(k, "idx", k)) for k in path]
+    keys = [str(k) for k in keys]
+    leafname = keys[-1] if keys else ""
+    parent = keys[-2] if len(keys) >= 2 else ""
+    grand = keys[-3] if len(keys) >= 3 else ""
+
+    def col() -> P:  # shard OUTPUT features
+        if leafname == "kernel" and getattr(leaf, "ndim", 0) == 2 and leaf.shape[1] % n == 0:
+            return P(None, axis_name)
+        if leafname == "bias" and getattr(leaf, "ndim", 0) == 1 and leaf.shape[0] % n == 0:
+            return P(axis_name)
+        return P()
+
+    def row() -> P:  # shard INPUT features; bias replicated (added post-psum)
+        if leafname == "kernel" and getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] % n == 0:
+            return P(axis_name, None)
+        return P()
+
+    if grand in ("attn1", "attn2") and parent in _TP_ATTN_COL:
+        return col()
+    if grand in ("attn1", "attn2") and parent == "to_out.0":
+        return row()
+    if parent == "ff.net.0.proj":
+        return col()
+    if parent == "ff.net.2":
+        return row()
+    return P()
+
+
+def unet_tp_shardings(unet_params, mesh: Mesh, axis_name: str = "model"):
+    """NamedSharding tree for a (frozen or trainable) UNet param pytree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, unet_tp_spec(path, leaf, mesh, axis_name)),
+        unet_params,
+    )
