@@ -85,6 +85,14 @@ def main():
         t2 = te2["text_model"]["embeddings"]["token_embedding"]["weight"]
         dist_targets["te2"] = DistributionLossTargets.from_embeddings(t2)
 
+    if os.environ.get("BENCH_FUSE_QKV", "0") == "1":
+        # fused qkv/kv projection layout (models/fuse.py): fewer, larger MXU
+        # matmuls; numerics pinned by tests/test_fused_qkv.py
+        from sd_lora_trainer_tpu.models.fuse import fuse_attention_projections
+
+        unet = fuse_attention_projections(unet)
+        print("[bench] fused qkv/kv projections", flush=True, file=sys.stderr)
+
     frozen = FrozenModels(
         unet_params=unet,
         unet_config=unet_cfg,
@@ -190,6 +198,39 @@ def main():
     except Exception as e:  # cost analysis is best-effort (platform-dependent)
         print(f"[bench] cost_analysis unavailable: {e}", flush=True, file=sys.stderr)
 
+    # Whether cost_analysis counts a lax.scan (while-loop) body once or
+    # trip-count times is XLA-version-dependent. Probe empirically with a tiny
+    # scanned matmul of known FLOPs so the scanned train step's number is
+    # normalized correctly; if the convention is unrecognizable, report
+    # mfu_approx instead of mfu.
+    mfu_exact = True
+    if step_flops and scan_k > 1:
+        try:
+            _probe_k, _n = 4, 128
+            _pa = jnp.zeros((_n, _n), jnp.float32)
+            _pf = jax.jit(
+                lambda c: jax.lax.scan(lambda s, _: (s @ _pa, None), c, None, length=_probe_k)[0]
+            )
+            _pca = _pf.lower(_pa).compile().cost_analysis()
+            if isinstance(_pca, (list, tuple)):
+                _pca = _pca[0]
+            _ratio = float(_pca.get("flops", 0.0)) / (2 * _n**3)
+            if abs(_ratio - _probe_k) < 1.0:
+                # bodies counted per trip: program FLOPs cover all K steps
+                step_flops /= scan_k
+                print(f"[bench] scan FLOPs counted per-trip (ratio {_ratio:.2f}); "
+                      f"normalizing by K={scan_k}", flush=True, file=sys.stderr)
+            elif abs(_ratio - 1.0) < 0.3:
+                pass  # body counted once: step_flops already per-step
+            else:
+                mfu_exact = False
+                print(f"[bench] unrecognized scan FLOPs convention "
+                      f"(probe ratio {_ratio:.2f}); reporting mfu_approx",
+                      flush=True, file=sys.stderr)
+        except Exception as e:
+            mfu_exact = False
+            print(f"[bench] scan-convention probe failed: {e}", flush=True, file=sys.stderr)
+
     print("[bench] compiling + warmup...", flush=True, file=sys.stderr)
     t0 = time.time()
     state, metrics = step_fn(state, batch, frozen)
@@ -235,9 +276,9 @@ def main():
         ]
         peak = next((p for pat, p in peak_map if pat in kind), None)
         if peak:
-            # XLA's cost_analysis reports while-loop body FLOPs once (not
-            # x trip count), so the scanned program's number already IS the
-            # per-step figure.
+            # step_flops was normalized to per-step above (scan-convention
+            # probe); if the convention was unrecognizable, mfu_exact is False
+            # and the field is emitted as mfu_approx.
             mfu = step_flops / (dt / n_steps) / peak
             print(
                 f"[bench] step FLOPs {step_flops/1e12:.2f} TF, "
@@ -266,7 +307,7 @@ def main():
         "vs_baseline": round(imgs_per_sec / anchor_at_res, 3),
     }
     if mfu is not None:
-        out["mfu"] = round(mfu, 4)
+        out["mfu" if mfu_exact else "mfu_approx"] = round(mfu, 4)
     print(json.dumps(out))
 
 

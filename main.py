@@ -11,6 +11,12 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Multi-process clusters must form BEFORE any backend-initializing import
+# (orbax, imported by the training stack, touches jax.devices at import).
+from sd_lora_trainer_tpu.parallel.distributed import maybe_initialize_distributed
+
+maybe_initialize_distributed()
+
 from sd_lora_trainer_tpu.config import TrainingConfig
 from sd_lora_trainer_tpu.main import train
 

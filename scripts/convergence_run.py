@@ -80,6 +80,54 @@ def make_structured_dataset(out_dir: str, n: int = 6, size: int = 96, seed: int 
             f.write(f"a bright sun disc over a smooth gradient sky, variant {i}")
 
 
+def quality_proxy(run_root: str, data_dir: str) -> dict:
+    """Non-loss quality trend: for every periodic checkpoint's rendered
+    validation images, the mean (over renders) of the MIN pixel-MSE against
+    the training images. As the LoRA learns the shared concept the renders
+    drift toward the training distribution, so the proxy should trend DOWN
+    across checkpoints — a learning signal train loss alone can't fake
+    (e.g. an optimizer that only memorizes noise statistics).
+
+    When full CLIP weights are staged (STAGING.md) the right metric is CLIP
+    train-image similarity (scripts/auto_eval_model.py implements it); in the
+    weights-less build environment pixel MSE against this dataset's strong
+    low-frequency structure is a meaningful stand-in."""
+    import glob
+
+    import numpy as np
+    from PIL import Image
+
+    train_imgs = []
+    for p in sorted(glob.glob(os.path.join(data_dir, "*.jpg"))):
+        train_imgs.append(np.asarray(Image.open(p).convert("RGB").resize((64, 64)), np.float32) / 255.0)
+    if not train_imgs:
+        return {}
+    per_ckpt = {}
+    ckpt_dirs = sorted(
+        glob.glob(os.path.join(run_root, "checkpoints", "checkpoint-*")),
+        key=lambda p: int(p.rsplit("-", 1)[1]),
+    )
+    for cd in ckpt_dirs:
+        renders = sorted(glob.glob(os.path.join(cd, "img_*.jpg")))
+        if not renders:
+            continue
+        vals = []
+        for rp in renders:
+            r = np.asarray(Image.open(rp).convert("RGB").resize((64, 64)), np.float32) / 255.0
+            vals.append(min(float(np.mean((r - t) ** 2)) for t in train_imgs))
+        per_ckpt[int(cd.rsplit("-", 1)[1])] = round(sum(vals) / len(vals), 5)
+    out = {"metric": "min_pixel_mse_to_train_set", "per_checkpoint": per_ckpt}
+    if len(per_ckpt) >= 2:
+        steps = sorted(per_ckpt)
+        k = max(len(steps) // 3, 1)
+        first = sum(per_ckpt[s] for s in steps[:k]) / k
+        last = sum(per_ckpt[s] for s in steps[-k:]) / k
+        out["first_window"] = round(first, 5)
+        out["last_window"] = round(last, 5)
+        out["improved"] = last < first
+    return out
+
+
 def run(config_kwargs: dict, out_dir: str) -> dict:
     from sd_lora_trainer_tpu.config import TrainingConfig
     from sd_lora_trainer_tpu.main import train
@@ -122,6 +170,9 @@ def run(config_kwargs: dict, out_dir: str) -> dict:
         report["loss_drop_pct"] = round(
             100 * (1 - report["last_window_mean_img_loss"] / report["first_window_mean_img_loss"]), 2
         )
+    proxy = quality_proxy(run_root, str(config_kwargs["lora_training_urls"]))
+    if proxy:
+        report["quality_proxy"] = proxy
     with open(os.path.join(out_dir, "convergence_report.json"), "w") as f:
         json.dump(report, f, indent=2)
     return report
@@ -132,14 +183,19 @@ def main():
     parser.add_argument("--real", action="store_true", help="full-size run (staged weights)")
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--dataset", default=None)
-    parser.add_argument("--steps", type=int, default=200)
+    parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--resolution", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--checkpointing-steps", type=int, default=100,
+                        help="periodic checkpoints; each renders images that feed the quality proxy")
+    parser.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                        help="tiny mode backend: cpu = virtual 8-device mesh; tpu = the real chip")
     parser.add_argument("--out", default=os.path.join(REPO, "convergence"))
     args = parser.parse_args()
 
     if not args.real:
-        _bootstrap_cpu_mesh()
+        if args.platform == "cpu":
+            _bootstrap_cpu_mesh()
         import tempfile
 
         work = tempfile.mkdtemp(prefix="convergence_")
@@ -157,7 +213,9 @@ def main():
             TINY_CLIP_L_CONFIG, TINY_CLIP_G_CONFIG, seed=args.seed,
         )
         data_dir = os.path.join(work, "dataset")
-        make_structured_dataset(data_dir, seed=args.seed)
+        make_structured_dataset(
+            data_dir, seed=args.seed, size=max((args.resolution or 128) + 32, 128)
+        )
         cfg = dict(
             name="convergence_tiny",
             lora_training_urls=data_dir,
@@ -166,11 +224,11 @@ def main():
             sd_model_version="sdxl",
             ckpt_path=ckpt,
             seed=args.seed,
-            resolution=args.resolution or 64,
-            validation_img_size=args.resolution or 64,
+            resolution=args.resolution or 128,
+            validation_img_size=args.resolution or 128,
             train_batch_size=2,
             max_train_steps=args.steps,
-            checkpointing_steps=10000,
+            checkpointing_steps=args.checkpointing_steps,
             n_sample_imgs=4,
             lora_rank=8,
             skip_gpt_cleanup=True,

@@ -1,0 +1,98 @@
+"""On-chip flash-attention parity: Pallas kernel vs einsum reference.
+
+Covers forward AND gradients for every head-dim the SD UNets use:
+  dh=40/80/160 (SD15 heads 8 at C=320/640/1280) and dh=64 (SDXL heads
+  5/10/20 at C=320/640/1280), including the padded-lane case (dh=40 pads to
+  the TPU's 128-lane registers) and the native dh<=128 path.
+
+Run on a real TPU (`python scripts/flash_parity_tpu.py`); prints one JSON
+line per case and PASS/FAIL at the end, exit code 0 iff all pass. The CI
+wrapper (tests/test_flash_tpu.py, -m tpu) subprocess-runs this so the kernel
+numerics are a test, not prose.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    if jax.devices()[0].platform == "cpu":
+        print("[flash-parity] no TPU visible; nothing to verify", file=sys.stderr)
+        sys.exit(3)
+
+    from sd_lora_trainer_tpu.ops.attention import multihead_attention
+    from sd_lora_trainer_tpu.ops.flash_attention import (
+        flash_attention_qualifies,
+        flash_mha,
+    )
+
+    # (batch, seq, heads, head_dim): the SD self-attention shapes
+    cases = [
+        (2, 4096, 8, 40),   # SD15 C=320 @64x64 latent — padded lanes
+        (2, 1024, 8, 80),   # SD15 C=640 — padded lanes
+        (2, 256, 8, 160),   # SD15 C=1280 — dh > 128 path
+        (2, 16384, 5, 64),  # SDXL C=320 @128x128 latent — native dh<=128
+        (2, 4096, 10, 64),  # SDXL C=640
+        (2, 1024, 20, 64),  # SDXL C=1280
+    ]
+    failures = []
+    for b, l, h, dh in cases:
+        d = h * dh
+        key = jax.random.PRNGKey(hash((b, l, h, dh)) % (2**31))
+        kq, kk, kv, kg = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (b, l, d), jnp.bfloat16)
+        k = jax.random.normal(kk, (b, l, d), jnp.bfloat16)
+        v = jax.random.normal(kv, (b, l, d), jnp.bfloat16)
+        if not flash_attention_qualifies(q.shape, k.shape, h):
+            failures.append({"case": [b, l, h, dh], "error": "did not qualify"})
+            continue
+
+        cot = jax.random.normal(kg, (b, l, d), jnp.bfloat16)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_mha(q, k, v, h).astype(jnp.float32) * cot.astype(jnp.float32))
+
+        def loss_ref(q, k, v):
+            out, _ = multihead_attention(q, k, v, h)
+            return jnp.sum(out.astype(jnp.float32) * cot.astype(jnp.float32))
+
+        f_out = jax.jit(lambda q, k, v: flash_mha(q, k, v, h))(q, k, v)
+        r_out = jax.jit(lambda q, k, v: multihead_attention(q, k, v, h)[0])(q, k, v)
+        fg = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        rg = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+
+        def maxerr(a, bb):
+            a = np.asarray(a, np.float32)
+            bb = np.asarray(bb, np.float32)
+            denom = np.maximum(np.abs(bb).max(), 1e-3)
+            return float(np.abs(a - bb).max() / denom)
+
+        errs = {
+            "fwd": maxerr(f_out, r_out),
+            "dq": maxerr(fg[0], rg[0]),
+            "dk": maxerr(fg[1], rg[1]),
+            "dv": maxerr(fg[2], rg[2]),
+        }
+        # bf16 inputs, fp32 softmax inside both paths: relative max-err well
+        # under 2^-7 (bf16 mantissa) scaled by a small accumulation factor
+        tol = 0.03
+        ok = all(e < tol for e in errs.values())
+        print(json.dumps({"case": [b, l, h, dh], "ok": ok, **{k2: round(v2, 5) for k2, v2 in errs.items()}}))
+        if not ok:
+            failures.append({"case": [b, l, h, dh], **errs})
+
+    if failures:
+        print(f"FAIL: {failures}")
+        sys.exit(1)
+    print("PASS: flash fwd+grad parity on all SD head-dims")
+
+
+if __name__ == "__main__":
+    main()

@@ -144,12 +144,24 @@ def load_checkpoint(
 
 
 def save_train_state(path: str, state) -> None:
-    """Persist TrainState (trainable + optimizer moments + step + key)."""
+    """Persist TrainState (trainable + optimizer moments + step + key).
+
+    Multiprocess: every rank must call this — sharded leaves (fsdp moments)
+    are all-gathered (a collective), then rank 0 alone writes. Single-process
+    runs take the plain numpy path."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    if jax.process_count() > 1:
+        from sd_lora_trainer_tpu.parallel.distributed import gather_to_host
+
+        host_tree = gather_to_host(_as_pytree(state))
+        if jax.process_index() != 0:
+            return
+    else:
+        host_tree = jax.tree.map(np.asarray, _as_pytree(state))
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, _as_pytree(state)), force=True)
+    ckptr.save(path, host_tree, force=True)
 
 
 def restore_train_state(path: str, template_state):

@@ -170,6 +170,11 @@ class TrainingConfig(BaseModel):
     mesh_model_parallel: int = 2
     # Rematerialization policy for the UNet blocks under jit.
     remat: bool = True
+    # Fuse attn1 q/k/v (and attn2 k/v) base kernels into single matmuls for
+    # the jitted step's frozen copy (models/fuse.py). Numerics identical
+    # (tests/test_fused_qkv.py); auto-disabled with DoRA (needs per-projection
+    # base kernels) and under tp (sharding specs target unfused names).
+    fuse_qkv: bool = True
     # Pre-compile the train step for every bucket resolution before the loop
     # (bucketed runs switch shapes mid-epoch; each shape is its own XLA
     # program and compiles can take minutes).

@@ -55,6 +55,65 @@ def _downsample_mask_nearest(mask: np.ndarray, lh: int, lw: int) -> np.ndarray:
     return mask[ys][:, xs]
 
 
+class EpochSampler:
+    """Shuffled epoch-coverage sampler.
+
+    Matches the reference DataLoader(shuffle=True) semantics (reference
+    main.py:200, :258): every index appears exactly once per epoch. Batches
+    draw sequentially from a per-epoch permutation; a batch that straddles an
+    epoch boundary borrows the head of the NEXT epoch's permutation so the
+    jitted step always sees a static batch shape (the torch DataLoader instead
+    emits a ragged final batch, which would force an XLA recompile).
+
+    Deterministic given (n, seed): resume fast-forward replays the same draw
+    sequence and lands at the same position in the same permutation.
+    """
+
+    def __init__(self, n: int, seed: int):
+        self.n = int(n)
+        self._rng = np.random.RandomState(seed)
+        self.perm = self._rng.permutation(self.n)
+        self.pos = 0
+        self.epoch = 0
+
+    def next_batch(self, batch_size: int) -> List[int]:
+        out: List[int] = []
+        while len(out) < batch_size:
+            take = min(batch_size - len(out), self.n - self.pos)
+            out.extend(int(i) for i in self.perm[self.pos : self.pos + take])
+            self.pos += take
+            if self.pos == self.n:
+                self.perm = self._rng.permutation(self.n)
+                self.pos = 0
+                self.epoch += 1
+        return out
+
+
+class BucketStore:
+    """img_id -> (mean, logvar, mask) row mapping over stacked arrays.
+
+    The arrays may be RAM ndarrays or disk-backed memmaps (large datasets
+    spill — the reference's >500-image .pt spill, trainer/dataset.py:66-90);
+    either way rows are materialized only when indexed."""
+
+    def __init__(self, ids: List[int], mean, logvar, mask):
+        self._rows = {int(img_id): j for j, img_id in enumerate(ids)}
+        self.mean, self.logvar, self.mask = mean, logvar, mask
+
+    def keys(self):
+        return self._rows.keys()
+
+    def __contains__(self, i):
+        return int(i) in self._rows
+
+    def __len__(self):
+        return len(self._rows)
+
+    def __getitem__(self, i):
+        j = self._rows[int(i)]
+        return self.mean[j], self.logvar[j], self.mask[j]
+
+
 @dataclasses.dataclass
 class LatentDataset:
     captions: List[str]
@@ -66,7 +125,7 @@ class LatentDataset:
     train_img_size: Tuple[int, int] = (512, 512)
     # bucketed path: per-resolution caches keyed by (w, h)
     bucket_plan: Optional[BucketPlan] = None
-    bucket_latents: Optional[Dict[Tuple[int, int], Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]]]] = None
+    bucket_latents: Optional[Dict[Tuple[int, int], "BucketStore"]] = None
 
     def __len__(self):
         return len(self.captions)
@@ -87,6 +146,7 @@ class LatentDataset:
         seed: int = 42,
         world_size: int = 1,
         global_rank: int = 0,
+        max_in_ram: int = 500,
     ) -> "LatentDataset":
         import pandas as pd
 
@@ -107,22 +167,49 @@ class LatentDataset:
         # latent downsample factor: one 2x per non-final encoder block (8 for SD)
         factor = 2 ** (len(vae_config.block_out_channels) - 1)
 
-        def encode_at(paths, mpaths, w, h):
+        # Large datasets spill the latent cache to disk-backed memmaps instead
+        # of host RAM (the reference writes per-item .pt files past 500 images,
+        # trainer/dataset.py:66-90; one memmap per cache is the same idea with
+        # O(1) open files and OS page-cache backed random access). Arrays are
+        # filled chunk-by-chunk during encoding, so peak host memory stays at
+        # one encode batch regardless of dataset size.
+        spill_dir = None
+        if len(image_paths) > max_in_ram:
+            spill_dir = os.path.join(data_dir, "latent_cache")
+            os.makedirs(spill_dir, exist_ok=True)
+            print(
+                f"[latent-cache] {len(image_paths)} images > {max_in_ram}: "
+                f"spilling latents to {spill_dir}"
+            )
+
+        def _alloc(shape, name):
+            if spill_dir is None:
+                return np.empty(shape, np.float32)
+            return np.lib.format.open_memmap(
+                os.path.join(spill_dir, name), mode="w+", shape=shape, dtype=np.float32
+            )
+
+        def encode_at(paths, mpaths, w, h, tag="sq"):
             lh, lw = h // factor, w // factor
-            means, logvars, masks = [], [], []
-            for start in range(0, len(paths), encode_batch):
+            n = len(paths)
+            mean_a = logvar_a = None
+            for start in range(0, n, encode_batch):
                 chunk = paths[start : start + encode_batch]
                 imgs = np.stack([load_image_for_vae(p, w, h) for p in chunk])
                 mean, logvar = encode(jnp.asarray(imgs))
-                means.append(np.asarray(mean, np.float32))
-                logvars.append(np.asarray(logvar, np.float32))
-            for i in range(len(paths)):
+                if mean_a is None:
+                    mean_a = _alloc((n,) + mean.shape[1:], f"{tag}_{w}x{h}_mean.npy")
+                    logvar_a = _alloc((n,) + logvar.shape[1:], f"{tag}_{w}x{h}_logvar.npy")
+                mean_a[start : start + len(chunk)] = np.asarray(mean, np.float32)
+                logvar_a[start : start + len(chunk)] = np.asarray(logvar, np.float32)
+            mask_a = _alloc((n, lh, lw, 1), f"{tag}_{w}x{h}_mask.npy")
+            for i in range(n):
                 if mpaths is None:
-                    masks.append(np.ones((lh, lw, 1), np.float32))
+                    mask_a[i] = 1.0
                 else:
                     m = load_mask(mpaths[i], w, h)
-                    masks.append(_downsample_mask_nearest(m, lh, lw)[..., None])
-            return np.concatenate(means), np.concatenate(logvars), np.stack(masks)
+                    mask_a[i] = _downsample_mask_nearest(m, lh, lw)[..., None]
+            return mean_a, logvar_a, mask_a
 
         if not aspect_ratio_bucketing:
             w, h = size
@@ -151,7 +238,7 @@ class LatentDataset:
             world_size=world_size,
             global_rank=global_rank,
         )
-        bucket_latents: Dict[Tuple[int, int], Dict[int, tuple]] = {}
+        bucket_latents: Dict[Tuple[int, int], BucketStore] = {}
         resolutions = set(plan.used_resolutions())
         resolutions.add(tuple(size))  # leftover batches use base resolution
         for res in resolutions:
@@ -168,10 +255,9 @@ class LatentDataset:
                 [mask_paths[i] for i in ids] if mask_paths else None,
                 w,
                 h,
+                tag="bucket",
             )
-            bucket_latents[res] = {
-                img_id: (mean[j], logvar[j], masks[j]) for j, img_id in enumerate(ids)
-            }
+            bucket_latents[res] = BucketStore(ids, mean, logvar, masks)
         return cls(
             captions=captions,
             vae_scaling_factor=vae_config.scaling_factor,

@@ -188,7 +188,13 @@ def encode_prompt_advanced(
     return c, uc, pc, puc, add_ids
 
 
-@partial(jax.jit, static_argnames=("pipe_static", "num_inference_steps", "guidance_scale"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "pipe_static", "num_inference_steps", "guidance_scale",
+        "compute_dtype", "use_flash",
+    ),
+)
 def _sample(
     pipe_static,
     unet_params,
@@ -200,6 +206,8 @@ def _sample(
     add_ids,
     num_inference_steps,
     guidance_scale,
+    compute_dtype=jnp.bfloat16,
+    use_flash=True,
 ):
     """Jitted CFG Euler sampling loop + VAE decode."""
     unet_config, version, schedule_tuple = pipe_static
@@ -209,9 +217,9 @@ def _sample(
     x = latents * sampler.init_noise_sigma(num_inference_steps).astype(latents.dtype)
 
     # Mixed precision: Euler/scheduler arithmetic stays fp32 (x, sigmas, the
-    # CFG combine), the UNet forward runs bf16 so matmuls/convs hit the MXU at
-    # full rate. The activations' dtype follows the latent input's dtype.
-    compute_dtype = jnp.bfloat16
+    # CFG combine), the UNet forward runs `compute_dtype` (default bf16 so
+    # matmuls/convs hit the MXU at full rate; precision-sensitive eval callers
+    # can request fp32 + no flash for the exact reference-precision path).
     ctx = jnp.concatenate([uc, c], axis=0).astype(compute_dtype)
     if version == "sdxl":
         added = {
@@ -233,7 +241,7 @@ def _sample(
             unet_config,
             added_cond=added,
             capture_attn=False,
-            use_flash=True,
+            use_flash=use_flash,
             remat=False,
         )
         eps = eps.astype(jnp.float32)
@@ -255,6 +263,7 @@ def render_images_eval(
     n_imgs: int = 4,
     n_steps: int = 25,
     dtype=None,
+    precision: str = "bf16",
 ) -> List[str]:
     """Standalone from-disk eval rendering (reference: trainer/inference.py:
     409-493 render_images_eval): rebuild the pipeline from the base
@@ -305,6 +314,7 @@ def render_images_eval(
         n_steps=n_steps,
         unet_lora=ckpt["unet_lora"],
         te_loras=ckpt["te_loras"],
+        precision=precision,
     )
 
 
@@ -321,6 +331,7 @@ def render_images(
     n_imgs: int = 4,
     unet_lora: Optional[dict] = None,
     te_loras: Optional[List[Optional[dict]]] = None,
+    precision: str = "bf16",
 ) -> List[str]:
     """Render validation images (reference: trainer/inference.py:290-407).
 
@@ -385,9 +396,13 @@ def render_images(
     add_ids = None if add_ids is None else jnp.tile(add_ids, (n, 1))
     latents = jnp.concatenate(latents_list, axis=0)
 
+    # precision="fp32" gives the numerically conservative path (fp32 UNet,
+    # einsum attention) for precision-sensitive eval; default bf16+flash.
     z = _sample(
         pipe_static, pipe.unet_params, latents, c, uc, pc, puc, add_ids,
         n_steps, 8.0,
+        compute_dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16,
+        use_flash=precision != "fp32",
     )
     from PIL import Image
 

@@ -122,6 +122,25 @@ def download_weights_if_needed(pretrained_model: dict) -> str:
 
 
 def train(config: TrainingConfig):
+    # multi-host: form the process cluster BEFORE first device use (no-op for
+    # single-process runs — the reference's whole envelope). Every process
+    # executes train(); host-side draws are deterministic from the seed so all
+    # processes agree on the global batch, and each keeps only its row slice.
+    from sd_lora_trainer_tpu.parallel.distributed import maybe_initialize_distributed
+
+    world_size, process_rank = maybe_initialize_distributed()
+    is_main_process = process_rank == 0
+    if world_size > 1:
+        if config.train_batch_size % world_size:
+            raise ValueError(
+                f"train_batch_size={config.train_batch_size} (global) must "
+                f"divide across {world_size} processes"
+            )
+        print(
+            f"[distributed] process {process_rank}/{world_size}, "
+            f"{len(jax.local_devices())} local / {len(jax.devices())} global devices"
+        )
+
     seed_everything(config.seed)
     weight_dtype = dtype_map[config.weight_type]
 
@@ -279,20 +298,27 @@ def train(config: TrainingConfig):
         resolution=tuple(config.train_img_size),
         distribution_targets=dist_targets,
     )
+    if (
+        config.fuse_qkv
+        and config.is_lora
+        and not config.use_dora
+        and config.sharding_mode != "tp"
+    ):
+        # fused qkv/kv projection layout for the jitted step's frozen copy
+        # (models/fuse.py): fewer, larger MXU matmuls. Rendering/export read
+        # loaded.unet, which stays unfused.
+        from sd_lora_trainer_tpu.models.fuse import fuse_attention_projections
+
+        frozen = dataclasses.replace(
+            frozen, unet_params=fuse_attention_projections(frozen.unet_params)
+        )
+
     img_ratio = config.train_img_size[0] / config.train_img_size[1]
     sc = StepConfig.from_config(config, img_ratio)
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         import dataclasses as _dc
 
-        sc = _dc.replace(sc, use_flash=False)
-    if config.sharding_mode == "tp" and sc.use_flash:
-        import dataclasses as _dc
-
-        # the Pallas flash custom call has no SPMD partitioning rules: under
-        # tensor parallelism it would force full replication of Q/K/V —
-        # einsum attention partitions cleanly along the head axis instead
-        print("[sharding] tp mode: flash attention disabled (einsum partitions)")
         sc = _dc.replace(sc, use_flash=False)
     # steps_per_call: K optimizer steps per jitted call (scan over a stacked
     # batch) — amortizes dispatch overhead; results are bit-identical to K=1
@@ -304,17 +330,6 @@ def train(config: TrainingConfig):
         reason = "aspect_ratio_bucketing" if config.aspect_ratio_bucketing else "debug"
         print(f"[steps_per_call] {reason} needs per-step granularity; using 1")
         steps_per_call = 1
-
-    core_step = make_train_step(sc, optimizer)
-    if steps_per_call > 1:
-        def _multi_step(st, batches, fr):
-            # fr is a tracer argument of the jitted fn — closing over it in
-            # the scan body is fine (no constant capture)
-            return jax.lax.scan(lambda s, b: core_step(s, b, fr), st, batches)
-
-        step_fn = jax.jit(_multi_step, donate_argnums=(0,))
-    else:
-        step_fn = jax.jit(core_step, donate_argnums=(0,))
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles
@@ -352,8 +367,11 @@ def train(config: TrainingConfig):
     # the "data" axis (must divide the global batch) and, in fsdp mode, the
     # trainable unet + optimizer state shard across the same axis.
     mesh = None
-    n_devices = config.mesh_data_parallel or len(jax.local_devices())
-    if config.sharding_mode == "tp":
+    # the mesh spans ALL devices in the cluster (local on one host; every
+    # host's chips on a pod — collectives ride ICI/DCN as laid out by XLA)
+    n_devices = config.mesh_data_parallel or len(jax.devices())
+    sharding_mode = config.sharding_mode
+    if sharding_mode == "tp":
         # 2-D data x model mesh: batch on 'data', the frozen UNet's
         # attention/ff projections Megatron-sharded on 'model'
         n_model = max(int(config.mesh_model_parallel), 1)
@@ -364,77 +382,68 @@ def train(config: TrainingConfig):
             and n_devices % n_model == 0
             and (n_data == 1 or config.train_batch_size % n_data == 0)
         )
-        if tp_ok:
-            from sd_lora_trainer_tpu.parallel.sharding import (
-                create_mesh_2d,
-                replicated,
-                shard_batch_tree,
-                trainable_shardings,
-                unet_tp_shardings,
-            )
-
-            mesh = create_mesh_2d(n_data, n_model)
-            print(f"[sharding] tp over mesh {mesh}")
-            frozen = dataclasses.replace(
-                frozen,
-                unet_params=jax.tree.map(
-                    jax.device_put,
-                    frozen.unet_params,
-                    unet_tp_shardings(frozen.unet_params, mesh),
-                ),
-            )
-            # adapters/TI and their optimizer state replicate (MBs); the
-            # frozen base is what shards under tp
-            t_sh = trainable_shardings(trainable, mesh, mode="tp")
-            rep = replicated(mesh)
-            state = TrainState(
-                step=jax.device_put(state.step, rep),
-                trainable=jax.tree.map(jax.device_put, state.trainable, t_sh),
-                opt_state=jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state),
-                key=jax.device_put(state.key, rep),
-            )
-        else:
+        if not tp_ok:
+            # a misconfigured tp run must not silently lose ALL parallelism:
+            # fall through to the dp/fsdp mesh path instead of unsharded
+            sharding_mode = "dp" if config.is_lora else "fsdp"
             print(
                 f"[sharding] tp requested but devices={n_devices} / "
                 f"model={n_model} / batch={config.train_batch_size} do not "
-                "divide; running unsharded"
+                f"divide (or run is not LoRA); falling back to {sharding_mode}"
             )
+    if sharding_mode == "tp":
+        from sd_lora_trainer_tpu.parallel.sharding import (
+            create_mesh_2d,
+            replicated,
+            trainable_shardings,
+            unet_tp_geglu_reshape,
+            unet_tp_shardings,
+        )
+
+        mesh = create_mesh_2d(n_data, n_model)
+        print(f"[sharding] tp over mesh {mesh}")
+        # GEGLU projections re-laid-out to [in, 2, inner] so value/gate column
+        # shards stay co-resident (no per-block resharding at a*gelu(b))
+        tp_unet = unet_tp_geglu_reshape(frozen.unet_params)
+        frozen = dataclasses.replace(
+            frozen,
+            unet_params=jax.tree.map(
+                jax.device_put,
+                tp_unet,
+                unet_tp_shardings(tp_unet, mesh),
+            ),
+        )
+        if sc.use_flash:
+            # compose the Pallas flash kernel with the mesh: shard_map over
+            # the head axis (ops/attention.py tp_shard) instead of disabling
+            sc = dataclasses.replace(sc, flash_tp=(mesh, "data", "model"))
+        # adapters/TI and their optimizer state replicate (MBs); the
+        # frozen base is what shards under tp
+        t_sh = trainable_shardings(trainable, mesh, mode="tp")
+        rep = replicated(mesh)
+        state = TrainState(
+            step=jax.device_put(state.step, rep),
+            trainable=jax.tree.map(jax.device_put, state.trainable, t_sh),
+            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state),
+            key=jax.device_put(state.key, rep),
+        )
     elif n_devices > 1 and (config.train_batch_size % n_devices == 0):
         from sd_lora_trainer_tpu.parallel.sharding import (
             create_mesh,
+            optimizer_state_shardings,
             replicated,
-            shard_batch_tree,
             trainable_shardings,
         )
 
         mesh = create_mesh(n_devices)
-        print(f"[sharding] {config.sharding_mode} over mesh {mesh}")
-        t_sh = trainable_shardings(trainable, mesh, mode=config.sharding_mode)
+        print(f"[sharding] {sharding_mode} over mesh {mesh}")
+        t_sh = trainable_shardings(trainable, mesh, mode=sharding_mode)
         rep = replicated(mesh)
-        if config.sharding_mode == "dp":
-            opt_sh = jax.tree.map(lambda _: rep, state.opt_state)
-        else:
-            # fsdp: optimizer moments mirror param shapes, so the same
-            # largest-divisible-axis spec applies — but only for moments of
-            # the fsdp-sharded group (unet). Moments of replicated groups
-            # (ti rows, te-lora) must stay replicated like their params, or
-            # GSPMD reshards them every step. fsdp_spec depends only on the
-            # shape, so group membership is recovered by shape matching.
-            # device_put (not re-init) so restored moments survive resume.
-            from sd_lora_trainer_tpu.parallel.sharding import fsdp_spec
-            from jax.sharding import NamedSharding
-
-            fsdp_shapes = {
-                tuple(x.shape) for x in jax.tree.leaves(trainable.get("unet", {}))
-            }
-
-            def _opt_spec(x):
-                shape = tuple(getattr(x, "shape", ()))
-                if shape and shape in fsdp_shapes:
-                    return NamedSharding(mesh, fsdp_spec(x, mesh))
-                return rep
-
-            opt_sh = jax.tree.map(_opt_spec, state.opt_state)
+        # optimizer moments inherit their param's sharding structurally (tree
+        # position, not shape matching): fsdp-sharded unet moments shard, TI /
+        # te-lora moments replicate with their params. device_put (not
+        # re-init) so restored moments survive resume.
+        opt_sh = optimizer_state_shardings(state.opt_state, trainable, t_sh, mesh)
         state = TrainState(
             step=jax.device_put(state.step, rep),
             trainable=jax.tree.map(jax.device_put, state.trainable, t_sh),
@@ -442,17 +451,39 @@ def train(config: TrainingConfig):
             key=jax.device_put(state.key, rep),
         )
 
+    if world_size > 1 and mesh is None:
+        raise ValueError(
+            f"multi-process run needs a device mesh: batch="
+            f"{config.train_batch_size} must divide {n_devices} global devices"
+        )
+
+    # built after the sharding block: StepConfig may carry the mesh (flash_tp)
+    core_step = make_train_step(sc, optimizer)
+    if steps_per_call > 1:
+        def _multi_step(st, batches, fr):
+            # fr is a tracer argument of the jitted fn — closing over it in
+            # the scan body is fine (no constant capture)
+            return jax.lax.scan(lambda s, b: core_step(s, b, fr), st, batches)
+
+        step_fn = jax.jit(_multi_step, donate_argnums=(0,))
+    else:
+        step_fn = jax.jit(core_step, donate_argnums=(0,))
+
     def put_batch(batch, leading: int = 1):
         if mesh is None:
             return batch
+        if world_size > 1:
+            from sd_lora_trainer_tpu.parallel.distributed import make_global_batch
+
+            return make_global_batch(batch, mesh, world_size, leading=leading)
         from sd_lora_trainer_tpu.parallel.sharding import shard_batch_tree
 
         return shard_batch_tree(batch, mesh, leading=leading)
 
     checkpoint_dir = os.path.join(str(config.output_dir), "checkpoints")
-    if os.path.exists(checkpoint_dir):
+    if is_main_process and os.path.exists(checkpoint_dir):
         shutil.rmtree(checkpoint_dir)
-    os.makedirs(checkpoint_dir)
+    os.makedirs(checkpoint_dir, exist_ok=True)
 
     losses: Dict[str, List] = {}  # device scalars, pulled to host lazily
     metrics_hosted: Dict[str, int] = {}  # per-key prefix already on host
@@ -460,6 +491,13 @@ def train(config: TrainingConfig):
     def losses_as_floats() -> Dict[str, List[float]]:
         return {k: [float(x) for x in v] for k, v in losses.items()}
     rng = np.random.RandomState(config.seed)
+    # epoch-coverage sampling (reference DataLoader(shuffle=True), main.py:200,
+    # :258): each image appears exactly once per epoch; replaces per-step iid
+    # draws, which skew per-image exposure on the product's tiny 4-50 image
+    # datasets. Deterministic from the seed, so resume fast-forward replays it.
+    from sd_lora_trainer_tpu.data.dataset import EpochSampler
+
+    sampler = EpochSampler(len(train_dataset), config.seed)
     start_time, images_done = time.time(), 0
     global_step, last_save_step = resume_step, 0
     accum = config.gradient_accumulation_steps
@@ -497,8 +535,7 @@ def train(config: TrainingConfig):
                             "captions": [train_dataset.captions[i] for i in pick],
                         }
             else:
-                idx = rng.choice(len(train_dataset), size=config.train_batch_size, replace=len(train_dataset) < config.train_batch_size)
-                data = train_dataset.batch(list(idx))
+                data = train_dataset.batch(sampler.next_batch(config.train_batch_size))
             captions = list(data["captions"])
             if config.caption_dropout > 0.0:
                 captions = [
@@ -512,41 +549,62 @@ def train(config: TrainingConfig):
                 n, pos = handler.ti_token_positions(c)
                 lengths.append(n)
                 positions.append(pos)
-            micro.append(
-                {
-                    "latent_mean": data["latent_mean"],
-                    "latent_logvar": data["latent_logvar"],
-                    "mask": data["mask"],
-                    "input_ids": ids1,
-                    "input_ids_2": ids2,
-                    "caption_token_lengths": np.asarray(lengths, np.int32),
-                    "ti_token_positions": np.asarray(positions, np.int32),
-                }
-            )
+            full = {
+                "latent_mean": data["latent_mean"],
+                "latent_logvar": data["latent_logvar"],
+                "mask": data["mask"],
+                "input_ids": ids1,
+                "input_ids_2": ids2,
+                "caption_token_lengths": np.asarray(lengths, np.int32),
+                "ti_token_positions": np.asarray(positions, np.int32),
+            }
+            if world_size > 1:
+                # every process drew the identical GLOBAL batch (deterministic
+                # host RNG); keep this process's contiguous row slice — rows
+                # land on this host's devices under the 'data' sharding
+                from sd_lora_trainer_tpu.parallel.distributed import local_rows
+
+                rows = local_rows(config.train_batch_size, world_size, process_rank)
+                full = {k: v[rows] for k, v in full.items()}
+            micro.append(full)
         batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
         batch["latent_scale"] = np.float32(train_dataset.vae_scaling_factor)
         return batch
 
     def current_adapters():
-        unet_lora = state.trainable.get("unet") if config.is_lora else None
+        # multiprocess: replicate any sharded leaves and pull to host numpy —
+        # a COLLECTIVE (fsdp full-finetune shards the unet group), so every
+        # rank must reach this call; only rank 0 then writes/renders.
+        trainable_host = state.trainable
+        if world_size > 1:
+            from sd_lora_trainer_tpu.parallel.distributed import gather_to_host
+
+            trainable_host = gather_to_host(state.trainable)
+        unet_lora = trainable_host.get("unet") if config.is_lora else None
         te_loras = [None, None]
-        if "te_lora" in state.trainable:
-            te_loras[0] = state.trainable["te_lora"].get("te1")
-            te_loras[1] = state.trainable["te_lora"].get("te2")
-        ti = state.trainable.get("ti", {})
+        if "te_lora" in trainable_host:
+            te_loras[0] = trainable_host["te_lora"].get("te1")
+            te_loras[1] = trainable_host["te_lora"].get("te2")
+        ti = trainable_host.get("ti", {})
         rows = [np.asarray(ti["te1"]) if "te1" in ti else None,
                 np.asarray(ti["te2"]) if "te2" in ti else None]
-        return unet_lora, te_loras, rows
+        return unet_lora, te_loras, rows, trainable_host
 
     def do_checkpoint(output_save_dir):
         os.makedirs(output_save_dir, exist_ok=True)
+        # collectives first (multiprocess gathers sharded leaves/moments) —
+        # every rank reaches them; the writes below are rank-0 only
+        unet_lora, te_loras, rows, trainable_host = current_adapters()
+        if config.save_train_state:
+            save_train_state(os.path.join(output_save_dir, "train_state"), state)
+        if not is_main_process:
+            return
         # refresh the degradation record: fallbacks after preprocess (e.g.
         # tokenizer synthetic vocab) must reach the saved config too
         from sd_lora_trainer_tpu.data.captioners import DEGRADATIONS
 
         config.training_attributes["degradations"] = list(DEGRADATIONS)
         config.save_as_json(os.path.join(output_save_dir, "training_args.json"))
-        unet_lora, te_loras, rows = current_adapters()
         save_checkpoint(
             output_dir=output_save_dir,
             global_step=global_step,
@@ -557,17 +615,17 @@ def train(config: TrainingConfig):
             ti_rows=rows,
             unet_lora=unet_lora,
             te_loras=te_loras,
-            unet_params=None if config.is_lora else state.trainable["unet"],
+            unet_params=None if config.is_lora else trainable_host["unet"],
             unet_config=None if config.is_lora else loaded.unet_config,
         )
-        if config.save_train_state:
-            save_train_state(os.path.join(output_save_dir, "train_state"), state)
 
     def do_render(output_save_dir):
-        unet_lora, te_loras, rows = current_adapters()
+        unet_lora, te_loras, rows, trainable_host = current_adapters()
+        if not is_main_process:
+            return []
         # full finetune renders with the CURRENT trained unet (the reference
         # renders through the live pipe whose unet is the finetuned one)
-        render_unet = loaded.unet if config.is_lora else state.trainable["unet"]
+        render_unet = loaded.unet if config.is_lora else trainable_host["unet"]
         pipe = InferencePipeline(
             version=loaded.version,
             unet_params=render_unet,
@@ -626,6 +684,14 @@ def train(config: TrainingConfig):
                 "ti_token_positions": np.stack([np.asarray(poss, np.int32)] * accum),
                 "latent_scale": np.float32(train_dataset.vae_scaling_factor),
             }
+            if world_size > 1:
+                from sd_lora_trainer_tpu.parallel.distributed import local_rows
+
+                rows = local_rows(config.train_batch_size, world_size, process_rank)
+                dummy = {
+                    k: v[:, rows] if getattr(v, "ndim", 0) >= 2 else v
+                    for k, v in dummy.items()
+                }
             throwaway = jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, "copy") else x, state)
             step_fn(throwaway, put_batch(dummy), frozen)
 
@@ -752,7 +818,7 @@ def train(config: TrainingConfig):
             print(f"\n---- avg training fps: {fps:.2f}", flush=True)
             output_save_dir = f"{checkpoint_dir}/checkpoint-{global_step}"
             do_checkpoint(output_save_dir)
-            if config.debug:
+            if config.debug and is_main_process:
                 write_debug_plots()
             validation_prompts = do_render(output_save_dir)
             last_save_step = global_step
@@ -772,9 +838,11 @@ def train(config: TrainingConfig):
     else:
         output_save_dir = f"{checkpoint_dir}/checkpoint-{last_save_step}"
 
+    # NOTE: this condition must evaluate identically on every rank
+    # (do_checkpoint/do_render contain collectives in multiprocess mode)
     if not os.path.exists(output_save_dir):
         do_checkpoint(output_save_dir)
-        if config.debug:
+        if config.debug and is_main_process:
             write_debug_plots()
         validation_prompts = do_render(output_save_dir)
     else:
@@ -789,7 +857,8 @@ def train(config: TrainingConfig):
         # full per-step series for convergence analysis
         # (scripts/convergence_run.py reads this from training_args.json)
         config.training_attributes["loss_series"] = losses_as_floats()
-    config.save_as_json(os.path.join(output_save_dir, "training_args.json"))
+    if is_main_process:
+        config.save_as_json(os.path.join(output_save_dir, "training_args.json"))
     print("Training job complete, saving outputs...", flush=True)
 
     return config, output_save_dir

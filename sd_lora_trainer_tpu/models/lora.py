@@ -150,7 +150,10 @@ def inject_lora(base_params: dict, lora_params: dict) -> dict:
     """
 
     def graft(base, lora):
-        if isinstance(base, dict) and "kernel" in base and "a" in lora:
+        # an adapter leaf ({a, b, alpha, ...}) grafts onto its projection dict
+        # — which may lack "kernel" under the fused qkv/kv layout
+        # (models/fuse.py moves base kernels into one concatenated matmul)
+        if isinstance(base, dict) and isinstance(lora, dict) and "a" in lora:
             merged = dict(base)
             merged["lora"] = lora
             return merged

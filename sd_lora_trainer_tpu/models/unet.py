@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from sd_lora_trainer_tpu.models.layers import (
+    _apply_lora_dense,
     conv2d,
     dense,
     gelu,
@@ -140,27 +141,61 @@ def _transformer_block(
     heads: int,
     capture: bool,
     use_flash: bool,
+    flash_tp=None,
 ):
     # self-attention
     h = layer_norm(p["norm1"], x)
-    q = dense(p["attn1"]["to_q"], h)
-    k = dense(p["attn1"]["to_k"], h)
-    v = dense(p["attn1"]["to_v"], h)
-    attn = self_attention(q, k, v, heads, use_flash=use_flash)
-    x = x + dense(p["attn1"]["to_out.0"], attn)
+    a1 = p["attn1"]
+    if "qkv" in a1:
+        # fused layout (models/fuse.py): one [C,3C] matmul; LoRA deltas still
+        # apply per projection onto the split slices
+        q, k, v = jnp.split(h @ a1["qkv"]["kernel"].astype(h.dtype), 3, axis=-1)
+        if "lora" in a1.get("to_q", {}):
+            q = _apply_lora_dense(a1["to_q"], h, q)
+        if "lora" in a1.get("to_k", {}):
+            k = _apply_lora_dense(a1["to_k"], h, k)
+        if "lora" in a1.get("to_v", {}):
+            v = _apply_lora_dense(a1["to_v"], h, v)
+    else:
+        q = dense(a1["to_q"], h)
+        k = dense(a1["to_k"], h)
+        v = dense(a1["to_v"], h)
+    attn = self_attention(q, k, v, heads, use_flash=use_flash, tp_shard=flash_tp)
+    x = x + dense(a1["to_out.0"], attn)
 
     # cross-attention (+ optional DAAM score capture)
     h = layer_norm(p["norm2"], x)
-    q = dense(p["attn2"]["to_q"], h)
-    k = dense(p["attn2"]["to_k"], ctx)
-    v = dense(p["attn2"]["to_v"], ctx)
+    a2 = p["attn2"]
+    q = dense(a2["to_q"], h)
+    if "kv" in a2:
+        k, v = jnp.split(ctx @ a2["kv"]["kernel"].astype(ctx.dtype), 2, axis=-1)
+        if "lora" in a2.get("to_k", {}):
+            k = _apply_lora_dense(a2["to_k"], ctx, k)
+        if "lora" in a2.get("to_v", {}):
+            v = _apply_lora_dense(a2["to_v"], ctx, v)
+    else:
+        k = dense(a2["to_k"], ctx)
+        v = dense(a2["to_v"], ctx)
     attn, scores = multihead_attention(q, k, v, heads, capture_scores=capture)
-    x = x + dense(p["attn2"]["to_out.0"], attn)
+    x = x + dense(a2["to_out.0"], attn)
 
     # GEGLU feed-forward
     h = layer_norm(p["norm3"], x)
-    h = dense(p["ff.net.0.proj"], h)
-    a, b = jnp.split(h, 2, axis=-1)
+    kproj = p["ff.net.0.proj"]["kernel"]
+    if kproj.ndim == 3:
+        # tensor-parallel layout [in, 2, inner] (main.py reshapes at TP
+        # setup): value/gate halves live on axis 1, so a 'model'-axis shard of
+        # the LAST axis holds MATCHING a/b column slices — a*gelu(b) is then
+        # local to each device, no resharding (contiguous-half column
+        # sharding would put each half wholly on one device).
+        h2 = jnp.einsum("blc,cti->blti", h, kproj.astype(h.dtype))
+        bias = p["ff.net.0.proj"]["bias"]
+        if bias.ndim == 1:
+            bias = bias.reshape(2, -1)
+        h2 = h2 + bias.astype(h.dtype)
+        a, b = h2[..., 0, :], h2[..., 1, :]
+    else:
+        a, b = jnp.split(dense(p["ff.net.0.proj"], h), 2, axis=-1)
     x = x + dense(p["ff.net.2"], a * gelu(b))
     return x, scores
 
@@ -174,6 +209,7 @@ def _spatial_transformer(
     name: str,
     capture: bool,
     use_flash: bool,
+    flash_tp=None,
 ):
     """Transformer2DModel: GN -> proj_in -> blocks -> proj_out -> residual."""
     b, hh, ww, c = x.shape
@@ -187,7 +223,7 @@ def _spatial_transformer(
         h = conv2d(p["proj_in"], h, padding="VALID")
         h = h.reshape(b, hh * ww, c)
     for i, bp in enumerate(p["transformer_blocks"]):
-        h, scores = _transformer_block(bp, h, ctx, heads, capture, use_flash)
+        h, scores = _transformer_block(bp, h, ctx, heads, capture, use_flash, flash_tp)
         if scores is not None:
             scores_out[f"{name}.transformer_blocks.{i}.attn2"] = scores
     if cfg.use_linear_projection:
@@ -214,6 +250,7 @@ def unet_forward(
     capture_attn: bool = False,
     use_flash: bool = True,
     remat: bool = True,
+    flash_tp=None,  # (Mesh, data_axis, model_axis): flash via shard_map under TP
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Predict noise. Returns (eps_pred [B,H,W,4], attn_scores dict).
 
@@ -283,7 +320,7 @@ def unet_forward(
                 if has_attn:
                     x, scores = _spatial_transformer(
                         layer_params["attention"], x, ctx, cfg, cfg.num_heads[i],
-                        name, capture_attn, use_flash,
+                        name, capture_attn, use_flash, flash_tp,
                     )
                 return x, scores
 
@@ -311,6 +348,7 @@ def unet_forward(
                 "mid_block.attentions.0",
                 False,  # the reference's DAAM probe skips the mid block
                 use_flash,
+                flash_tp,
             )
         x = _resnet(mid["resnets"][1], x, temb, groups)
         return x, scores
@@ -339,7 +377,7 @@ def unet_forward(
                 if has_attn:
                     x, scores = _spatial_transformer(
                         layer_params["attention"], x, ctx, cfg, cfg.num_heads[level],
-                        name, capture_attn, use_flash,
+                        name, capture_attn, use_flash, flash_tp,
                     )
                 return x, scores
 

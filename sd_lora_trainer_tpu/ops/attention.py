@@ -70,8 +70,33 @@ def self_attention(
     v: jnp.ndarray,
     heads: int,
     use_flash: bool = False,
+    tp_shard=None,  # (Mesh, data_axis_name, model_axis_name)
 ) -> jnp.ndarray:
-    """Self-attention over image tokens; flash kernel when shapes qualify."""
+    """Self-attention over image tokens; flash kernel when shapes qualify.
+
+    `tp_shard`: under Megatron tensor parallelism q/k/v arrive feature-sharded
+    (attention heads split across the 'model' axis) and the Pallas flash
+    custom call has no SPMD partitioning rules — GSPMD would replicate.
+    shard_map splits the head axis explicitly: each device runs the kernel on
+    its own heads (batch stays sharded on 'data'), composing flash with the
+    mesh at zero communication. Falls back to einsum when heads don't divide.
+    """
+    if tp_shard is not None and use_flash:
+        mesh, data_ax, model_ax = tp_shard
+        n_model = mesh.shape[model_ax]
+        n_data = mesh.shape[data_ax]
+        if heads % n_model == 0 and q.shape[0] % n_data == 0:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(data_ax, None, model_ax)
+            local_heads = heads // n_model
+
+            def local_attn(ql, kl, vl):
+                return self_attention(ql, kl, vl, local_heads, use_flash=use_flash)
+
+            return jax.shard_map(
+                local_attn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+            )(q, k, v)
     if use_flash:
         from sd_lora_trainer_tpu.ops.flash_attention import flash_attention_qualifies, flash_mha
 

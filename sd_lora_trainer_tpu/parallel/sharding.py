@@ -147,6 +147,56 @@ def trainable_shardings(trainable, mesh: Mesh, mode: str = "dp", axis_name: str 
     return out
 
 
+def _path_keys(path) -> tuple:
+    """Normalize a jax key-path to a tuple of strings."""
+    out = []
+    for k in path:
+        v = getattr(k, "key", None)
+        if v is None:
+            v = getattr(k, "idx", None)
+        if v is None:
+            v = getattr(k, "name", None)
+        out.append(str(k) if v is None else str(v))
+    return tuple(out)
+
+
+def optimizer_state_shardings(opt_state, trainable, trainable_sh, mesh: Mesh):
+    """Sharding tree for the optimizer state, derived STRUCTURALLY from the
+    trainable shardings: optax moment trees (mu/nu, slot variables) mirror the
+    param tree inside each transform's state, so a moment leaf whose key-path
+    *ends with* the key-path of a trainable param — and whose shape matches —
+    inherits that param's sharding. Counts/scalars and unmatched leaves
+    replicate.
+
+    This recovers group membership by position in the tree, not by shape
+    equality, so e.g. a TI row that coincidentally shares a shape with some
+    unet param still replicates alongside its (replicated) param — shape-only
+    matching would fsdp-shard its moments and reintroduce per-step GSPMD
+    resharding.
+    """
+    rep = replicated(mesh)
+    param_map: dict = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(trainable)[0]:
+        param_map[_path_keys(path)] = tuple(getattr(leaf, "shape", ()))
+    sh_map: dict = {}
+    for path, sh in jax.tree_util.tree_flatten_with_path(
+        trainable_sh, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )[0]:
+        sh_map[_path_keys(path)] = sh
+
+    def spec_for(path, leaf):
+        keys = _path_keys(path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        # longest path suffix that names a trainable param of the same shape
+        for start in range(len(keys)):
+            suffix = keys[start:]
+            if param_map.get(suffix) == shape and suffix in sh_map:
+                return sh_map[suffix]
+        return rep
+
+    return jax.tree_util.tree_map_with_path(spec_for, opt_state)
+
+
 # ---------------------------------------------------------------------------
 # Tensor parallelism (optional; SURVEY §2.4 "2-way sharding of attention
 # heads"). Megatron-style specs for the UNet transformer blocks: QKV and the
@@ -198,7 +248,16 @@ def unet_tp_spec(path, leaf, mesh: Mesh, axis_name: str = "model") -> P:
     if grand in ("attn1", "attn2") and parent == "to_out.0":
         return row()
     if parent == "ff.net.0.proj":
-        return col()
+        # GEGLU proj in the [in, 2, inner] TP layout (unet_tp_geglu_reshape):
+        # shard the INNER axis so every device holds matching value/gate
+        # column slices — a contiguous split of the flat [in, 2*inner] kernel
+        # would place each GEGLU half wholly on one device and force
+        # resharding at a*gelu(b) every block.
+        if leafname == "kernel" and getattr(leaf, "ndim", 0) == 3 and leaf.shape[2] % n == 0:
+            return P(None, None, axis_name)
+        if leafname == "bias" and getattr(leaf, "ndim", 0) == 2 and leaf.shape[1] % n == 0:
+            return P(None, axis_name)
+        return P()
     if parent == "ff.net.2":
         return row()
     return P()
@@ -210,3 +269,26 @@ def unet_tp_shardings(unet_params, mesh: Mesh, axis_name: str = "model"):
         lambda path, leaf: NamedSharding(mesh, unet_tp_spec(path, leaf, mesh, axis_name)),
         unet_params,
     )
+
+
+def unet_tp_geglu_reshape(unet_params):
+    """Re-layout every GEGLU up-projection for tensor parallelism:
+    kernel [in, 2*inner] -> [in, 2, inner], bias [2*inner] -> [2, inner].
+
+    The flat layout stores the value and gate halves contiguously (torch
+    GEGLU chunk semantics, preserved by weight conversion); the 3-D view puts
+    them on their own axis so a 'model'-axis shard of the LAST axis keeps
+    matching a/b slices co-resident. The UNet forward consumes either layout
+    (models/unet.py GEGLU branch)."""
+
+    def fix(path, leaf):
+        keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        parent = keys[-2] if len(keys) >= 2 else ""
+        name = keys[-1] if keys else ""
+        if parent == "ff.net.0.proj" and name == "kernel" and leaf.ndim == 2:
+            return leaf.reshape(leaf.shape[0], 2, leaf.shape[1] // 2)
+        if parent == "ff.net.0.proj" and name == "bias" and leaf.ndim == 1:
+            return leaf.reshape(2, leaf.shape[0] // 2)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, unet_params)

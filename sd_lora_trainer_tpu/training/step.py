@@ -95,6 +95,10 @@ class StepConfig:
     ti_freeze_f: float
     ti_lr: float
     daam_img_ratio: float
+    # (Mesh, data_axis, model_axis) under tensor parallelism: run flash
+    # attention via shard_map over the head axis (ops/attention.py:tp_shard).
+    # Hashable (Mesh is), so it can live in this static config.
+    flash_tp: object = None
 
     @classmethod
     def from_config(cls, config: TrainingConfig, img_ratio: float) -> "StepConfig":
@@ -204,6 +208,7 @@ def compute_loss(
         capture_attn=capture,
         use_flash=sc.use_flash,
         remat=sc.remat,
+        flash_tp=sc.flash_tp,
     )
 
     mask = batch["mask"]

@@ -10,7 +10,7 @@ import pytest
 from PIL import Image
 
 from sd_lora_trainer_tpu.data.bucketing import BucketPlan, generate_resolutions
-from sd_lora_trainer_tpu.data.dataset import LatentDataset
+from sd_lora_trainer_tpu.data.dataset import BucketStore, EpochSampler, LatentDataset
 from sd_lora_trainer_tpu.data.preprocess import (
     calculate_new_dimensions,
     center_of_mass,
@@ -107,6 +107,79 @@ def test_latent_dataset_caches_distributions(tiny_dataset_dir):
     batch = ds.batch([0, 3])
     assert batch["latent_mean"].shape == (2, 16, 16, 4)
     assert len(batch["captions"]) == 2
+
+
+def test_epoch_sampler_full_coverage_per_epoch():
+    """Reference DataLoader(shuffle=True) semantics (ref main.py:200,258):
+    every index appears exactly once per epoch."""
+    s = EpochSampler(10, seed=3)
+    drawn = []
+    for _ in range(5):  # 5 batches of 4 = 2 epochs
+        drawn.extend(s.next_batch(4))
+    assert sorted(drawn[:10]) == list(range(10))
+    assert sorted(drawn[10:20]) == list(range(10))
+    # epochs are differently shuffled (overwhelmingly likely for n=10)
+    assert drawn[:10] != drawn[10:20]
+    assert s.epoch == 2
+
+
+def test_epoch_sampler_batch_larger_than_dataset():
+    """Tiny datasets (n < batch): the batch cycles whole permutations, still
+    balanced — each epoch's worth inside the batch covers every index."""
+    s = EpochSampler(3, seed=0)
+    b = s.next_batch(8)
+    assert len(b) == 8
+    assert sorted(b[:3]) == [0, 1, 2] and sorted(b[3:6]) == [0, 1, 2]
+
+
+def test_epoch_sampler_resume_replay_matches():
+    """Resume fast-forward replays draws: a fresh sampler advanced k batches
+    continues with exactly the same sequence as the uninterrupted one."""
+    a = EpochSampler(7, seed=11)
+    seq = [a.next_batch(2) for _ in range(9)]
+    b = EpochSampler(7, seed=11)
+    for _ in range(4):
+        b.next_batch(2)
+    assert [b.next_batch(2) for _ in range(5)] == seq[4:]
+
+
+def test_latent_dataset_spills_to_disk(tiny_dataset_dir):
+    """Past max_in_ram the latent cache lives in disk memmaps (the reference
+    spills per-item .pt files past 500 images, trainer/dataset.py:66-90) and
+    batches are identical to the RAM path."""
+    vae = init_vae_params(jax.random.PRNGKey(0), TINY_VAE_CONFIG, dtype=jnp.float32)
+    kwargs = dict(size=(32, 32), substitute_caption_map={"TOK": "<s0><s1>"})
+    ram = LatentDataset.from_directory(tiny_dataset_dir, vae, TINY_VAE_CONFIG, **kwargs)
+    disk = LatentDataset.from_directory(
+        tiny_dataset_dir, vae, TINY_VAE_CONFIG, max_in_ram=3, **kwargs
+    )
+    cache_dir = os.path.join(tiny_dataset_dir, "latent_cache")
+    assert os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) == 3
+    assert isinstance(disk.latent_mean, np.memmap)
+    for k in ("latent_mean", "latent_logvar", "mask"):
+        np.testing.assert_array_equal(ram.batch([0, 4])[k], disk.batch([0, 4])[k])
+
+
+def test_latent_dataset_bucketed_spill(tiny_dataset_dir):
+    """Bucketed caches spill too; BucketStore rows match the RAM path."""
+    vae = init_vae_params(jax.random.PRNGKey(0), TINY_VAE_CONFIG, dtype=jnp.float32)
+    kwargs = dict(
+        size=(32, 32), aspect_ratio_bucketing=True, train_batch_size=2, seed=5
+    )
+    ram = LatentDataset.from_directory(tiny_dataset_dir, vae, TINY_VAE_CONFIG, **kwargs)
+    disk = LatentDataset.from_directory(
+        tiny_dataset_dir, vae, TINY_VAE_CONFIG, max_in_ram=3, **kwargs
+    )
+    assert os.path.isdir(os.path.join(tiny_dataset_dir, "latent_cache"))
+    for res, store in ram.bucket_latents.items():
+        dstore = disk.bucket_latents[res]
+        assert isinstance(dstore, BucketStore)
+        assert set(store.keys()) == set(dstore.keys())
+        for i in store.keys():
+            for a, b in zip(store[i], dstore[i]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    data, res = disk.bucketed_batch()
+    assert data["latent_mean"].shape[0] == 2
 
 
 def test_round_and_dimension_math():

@@ -1,0 +1,86 @@
+"""Fused qkv/kv projection layout (models/fuse.py) must be numerically
+identical to the unfused forward — with and without LoRA adapters grafted."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sd_lora_trainer_tpu.models.fuse import fuse_attention_projections
+from sd_lora_trainer_tpu.models.lora import UNET_TARGETS, create_lora_params, inject_lora
+from sd_lora_trainer_tpu.models.unet import (
+    TINY_SDXL_UNET_CONFIG,
+    init_unet_params,
+    unet_forward,
+)
+
+
+def _inputs(cfg, key):
+    kl, kc = jax.random.split(key)
+    latents = jax.random.normal(kl, (2, 16, 16, 4), jnp.float32)
+    t = jnp.asarray([10, 500], jnp.int32)
+    ctx = jax.random.normal(kc, (2, 77, cfg.cross_attention_dim), jnp.float32)
+    added = {
+        "text_embeds": jnp.zeros((2, cfg.addition_pooled_dim), jnp.float32),
+        "time_ids": jnp.tile(jnp.asarray([[64, 64, 0, 0, 16, 16]], jnp.float32), (2, 1)),
+    }
+    return latents, t, ctx, added
+
+
+def test_fused_forward_matches_unfused():
+    cfg = TINY_SDXL_UNET_CONFIG
+    params = init_unet_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    latents, t, ctx, added = _inputs(cfg, jax.random.PRNGKey(1))
+
+    ref, _ = jax.jit(
+        lambda p: unet_forward(p, latents, t, ctx, cfg, added_cond=added,
+                               use_flash=False, remat=False)
+    )(params)
+    fused, _ = jax.jit(
+        lambda p: unet_forward(p, latents, t, ctx, cfg, added_cond=added,
+                               use_flash=False, remat=False)
+    )(fuse_attention_projections(params))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_forward_with_lora_matches_and_grads_flow():
+    cfg = TINY_SDXL_UNET_CONFIG
+    params = init_unet_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lora = create_lora_params(jax.random.PRNGKey(2), params, rank=4, targets=UNET_TARGETS)
+    # nonzero B so the LoRA delta actually contributes
+    lora = jax.tree.map(
+        lambda x: x + 0.01 if hasattr(x, "ndim") and x.ndim == 2 else x, lora
+    )
+    latents, t, ctx, added = _inputs(cfg, jax.random.PRNGKey(3))
+    fused_base = fuse_attention_projections(params)
+
+    def fwd(base, adapters):
+        out, _ = unet_forward(
+            inject_lora(base, adapters), latents, t, ctx, cfg,
+            added_cond=added, use_flash=False, remat=False,
+        )
+        return out
+
+    ref = jax.jit(fwd)(params, lora)
+    fused = jax.jit(fwd)(fused_base, lora)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), rtol=2e-5, atol=2e-5)
+
+    # gradients w.r.t. the adapters must match across layouts
+    g_ref = jax.jit(jax.grad(lambda a: jnp.sum(fwd(params, a) ** 2)))(lora)
+    g_fused = jax.jit(jax.grad(lambda a: jnp.sum(fwd(fused_base, a) ** 2)))(lora)
+    for (pa, ga), (pb, gb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_fused)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=5e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+    # and the attn1/attn2 adapter grads are nonzero (the fused path really
+    # routes gradients through the split slices)
+    nonzero = [
+        jax.tree_util.keystr(p)
+        for p, g in jax.tree_util.tree_flatten_with_path(g_fused)[0]
+        if "to_q" in jax.tree_util.keystr(p) and np.abs(np.asarray(g)).sum() > 0
+    ]
+    assert nonzero
