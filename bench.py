@@ -85,7 +85,7 @@ def main():
         t2 = te2["text_model"]["embeddings"]["token_embedding"]["weight"]
         dist_targets["te2"] = DistributionLossTargets.from_embeddings(t2)
 
-    if os.environ.get("BENCH_FUSE_QKV", "0") == "1":
+    if os.environ.get("BENCH_FUSE_QKV", "1") == "1":
         # fused qkv/kv projection layout (models/fuse.py): fewer, larger MXU
         # matmuls; numerics pinned by tests/test_fused_qkv.py
         from sd_lora_trainer_tpu.models.fuse import fuse_attention_projections

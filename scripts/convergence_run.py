@@ -128,6 +128,110 @@ def quality_proxy(run_root: str, data_dir: str) -> dict:
     return out
 
 
+def held_out_trend(ckpt_path: str, run_root: str, data_dir: str, seed: int = 0, res: int = 128) -> dict:
+    """Generalization trend: eval ε-prediction MSE on a HELD-OUT concept image
+    at every periodic checkpoint (fixed latent, noise, and timesteps, so only
+    the adapters change). A LoRA that learns the shared concept predicts the
+    noise on an unseen instance better over training; one that merely fits the
+    training noise statistics doesn't. This is the quality metric that CAN
+    move at tiny scale: render-space metrics (pixel MSE, CLIP) are flat when
+    the frozen base is random-initialized, because 25-step sampling through a
+    random UNet returns mush regardless of what the adapters learned."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sd_lora_trainer_tpu.checkpoint import load_checkpoint
+    from sd_lora_trainer_tpu.data.dataset import load_image_for_vae
+    from sd_lora_trainer_tpu.diffusion.schedulers import DDPMSchedule
+    from sd_lora_trainer_tpu.main import build_tokenizers
+    from sd_lora_trainer_tpu.models.clip import clip_text_forward
+    from sd_lora_trainer_tpu.models.lora import merge_lora
+    from sd_lora_trainer_tpu.models.unet import unet_forward
+    from sd_lora_trainer_tpu.models.vae import vae_encode
+    from sd_lora_trainer_tpu.models.weights import load_models_from_checkpoint
+
+    # the held-out image: a NEW sample from the same generative process
+    # (unseen seed offset), written next to the training data
+    holdout = os.path.join(data_dir, "..", "holdout")
+    make_structured_dataset(holdout, n=1, size=160, seed=seed + 1000)
+    img_path = sorted(glob.glob(os.path.join(holdout, "*.jpg")))[0]
+
+    loaded = load_models_from_checkpoint(ckpt_path, dtype=jnp.float32)
+    tok1, tok2 = build_tokenizers(loaded)
+    ckpt_dirs = sorted(
+        glob.glob(os.path.join(run_root, "checkpoints", "checkpoint-*")),
+        key=lambda p: int(p.rsplit("-", 1)[1]),
+    )
+    if not ckpt_dirs:
+        return {}
+
+    # fixed eval inputs
+    img = load_image_for_vae(img_path, res, res)[None]
+    mean, logvar = jax.jit(lambda x: vae_encode(loaded.vae, x, loaded.vae_config))(
+        jnp.asarray(img)
+    )
+    key = jax.random.PRNGKey(seed + 7)
+    k_lat, k_noise = jax.random.split(key)
+    latent = (mean + jnp.exp(0.5 * logvar) * jax.random.normal(k_lat, mean.shape)) * loaded.vae_config.scaling_factor
+    timesteps = jnp.asarray([100, 300, 500, 700, 900], jnp.int32)
+    lat5 = jnp.tile(latent, (5, 1, 1, 1))
+    noise = jax.random.normal(k_noise, lat5.shape)
+    schedule = DDPMSchedule.create()
+    noisy = schedule.add_noise(lat5, noise, timesteps)
+
+    n_tok = 3
+    toks = [f"<s{i}>" for i in range(n_tok)]
+    for tok in (tok1, tok2):
+        if tok is not None:
+            tok.add_special_tokens(toks)
+    prompt = "in the style of " + "".join(toks) + ", a bright sun disc over a smooth gradient sky"
+    ids1 = jnp.asarray(tok1([prompt] * 5), jnp.int32)
+    ids2 = jnp.asarray(tok2([prompt] * 5), jnp.int32) if tok2 else None
+
+    @jax.jit
+    def eval_loss(unet_params, ti1, ti2):
+        o1 = clip_text_forward(loaded.text_encoder, ids1, loaded.text_encoder_config,
+                               ti_embeddings=ti1, dtype=jnp.float32)
+        if loaded.version == "sdxl":
+            o2 = clip_text_forward(loaded.text_encoder_2, ids2, loaded.text_encoder_2_config,
+                                   ti_embeddings=ti2, dtype=jnp.float32)
+            ctx = jnp.concatenate([o1["penultimate"], o2["penultimate"]], axis=-1)
+            added = {
+                "text_embeds": o2["pooled"],
+                "time_ids": jnp.tile(jnp.asarray([[1024, 1024, 0, 0, res, res]], jnp.float32), (5, 1)),
+            }
+        else:
+            ctx, added = o1["last"], None
+        pred, _ = unet_forward(unet_params, noisy, timesteps, ctx,
+                               loaded.unet_config, added_cond=added,
+                               use_flash=False, remat=False)
+        return jnp.mean((pred - noise) ** 2)
+
+    per_ckpt = {}
+    for cd in ckpt_dirs:
+        ck = load_checkpoint(cd, loaded.unet, [loaded.text_encoder, loaded.text_encoder_2])
+        unet_params = loaded.unet
+        if ck.get("unet_lora") is not None:
+            unet_params = merge_lora(loaded.unet, ck["unet_lora"], scale=1.0)
+        ti = ck.get("ti_rows") or [None, None]
+        step = int(cd.rsplit("-", 1)[1])
+        per_ckpt[step] = round(float(eval_loss(
+            unet_params,
+            jnp.asarray(ti[0]) if ti[0] is not None else None,
+            jnp.asarray(ti[1]) if ti[1] is not None else None,
+        )), 5)
+    out = {"metric": "held_out_eps_mse", "per_checkpoint": per_ckpt}
+    steps = sorted(per_ckpt)
+    if len(steps) >= 2:
+        out["first"] = per_ckpt[steps[0]]
+        out["last"] = per_ckpt[steps[-1]]
+        out["improved"] = per_ckpt[steps[-1]] < per_ckpt[steps[0]]
+    return out
+
+
 def run(config_kwargs: dict, out_dir: str) -> dict:
     from sd_lora_trainer_tpu.config import TrainingConfig
     from sd_lora_trainer_tpu.main import train
@@ -258,6 +362,15 @@ def main():
         )
 
     report = run(cfg, args.out)
+    if not args.real:
+        trend = held_out_trend(
+            cfg["ckpt_path"], report["run_dir"], str(cfg["lora_training_urls"]),
+            seed=args.seed, res=int(cfg["resolution"]),
+        )
+        if trend:
+            report["held_out_trend"] = trend
+            with open(os.path.join(args.out, "convergence_report.json"), "w") as f:
+                json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
     drop = report.get("loss_drop_pct")
     if drop is not None and drop <= 0:
