@@ -56,17 +56,20 @@ def main():
 
         cot = jax.random.normal(kg, (b, l, d), jnp.bfloat16)
 
-        def loss_flash(q, k, v):
-            return jnp.sum(flash_mha(q, k, v, h).astype(jnp.float32) * cot.astype(jnp.float32))
+        # cotangent is an ARGUMENT, not a closure capture: capturing a device
+        # array embeds it as a compile-time constant, forcing a device->host
+        # fetch at trace time (flaky over the tunnel, and bad jit hygiene)
+        def loss_flash(q, k, v, ct):
+            return jnp.sum(flash_mha(q, k, v, h).astype(jnp.float32) * ct.astype(jnp.float32))
 
-        def loss_ref(q, k, v):
+        def loss_ref(q, k, v, ct):
             out, _ = multihead_attention(q, k, v, h)
-            return jnp.sum(out.astype(jnp.float32) * cot.astype(jnp.float32))
+            return jnp.sum(out.astype(jnp.float32) * ct.astype(jnp.float32))
 
         f_out = jax.jit(lambda q, k, v: flash_mha(q, k, v, h))(q, k, v)
         r_out = jax.jit(lambda q, k, v: multihead_attention(q, k, v, h)[0])(q, k, v)
-        fg = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
-        rg = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        fg = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v, cot)
+        rg = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v, cot)
 
         def maxerr(a, bb):
             a = np.asarray(a, np.float32)

@@ -158,6 +158,7 @@ def save_train_state(path: str, state) -> None:
         host_tree = gather_to_host(_as_pytree(state))
         if jax.process_index() != 0:
             return
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     else:
         host_tree = jax.tree.map(np.asarray, _as_pytree(state))
     ckptr = ocp.PyTreeCheckpointer()

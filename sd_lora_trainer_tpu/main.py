@@ -162,9 +162,16 @@ def train(config: TrainingConfig):
         config.validation_img_size = 1024 if loaded.version == "sdxl" else 768
 
     # ---- preprocessing (one-shot host pipeline) ----
+    # multiprocess: preprocessing is deterministic (same seed -> identical
+    # outputs), but concurrent writes into ONE shared directory race
+    # (truncated image files). Non-main ranks re-derive the same dataset in a
+    # rank-suffixed scratch dir; rank 0 owns the canonical output tree.
+    preprocess_dir = str(config.output_dir)
+    if world_size > 1 and not is_main_process:
+        preprocess_dir = os.path.join(str(config.output_dir), f"rank{process_rank}")
     config, input_dir = preprocess(
         config,
-        working_directory=config.output_dir,
+        working_directory=preprocess_dir,
         concept_mode=config.concept_mode,
         input_zip_path=config.lora_training_urls,
         caption_text=config.caption_prefix,
@@ -558,14 +565,9 @@ def train(config: TrainingConfig):
                 "caption_token_lengths": np.asarray(lengths, np.int32),
                 "ti_token_positions": np.asarray(positions, np.int32),
             }
-            if world_size > 1:
-                # every process drew the identical GLOBAL batch (deterministic
-                # host RNG); keep this process's contiguous row slice — rows
-                # land on this host's devices under the 'data' sharding
-                from sd_lora_trainer_tpu.parallel.distributed import local_rows
-
-                rows = local_rows(config.train_batch_size, world_size, process_rank)
-                full = {k: v[rows] for k, v in full.items()}
+            # multiprocess: every process drew this identical GLOBAL batch
+            # (deterministic host RNG); put_batch materializes only the rows
+            # living on this host's devices (make_array_from_callback)
             micro.append(full)
         batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
         batch["latent_scale"] = np.float32(train_dataset.vae_scaling_factor)
@@ -591,14 +593,17 @@ def train(config: TrainingConfig):
         return unet_lora, te_loras, rows, trainable_host
 
     def do_checkpoint(output_save_dir):
-        os.makedirs(output_save_dir, exist_ok=True)
         # collectives first (multiprocess gathers sharded leaves/moments) —
-        # every rank reaches them; the writes below are rank-0 only
+        # every rank reaches them; everything filesystem-side is rank-0 only.
+        # Non-main ranks must not even create the shared directory: the final
+        # "already saved?" check is `os.path.exists(output_save_dir)`, and a
+        # faster non-main rank pre-creating it would make rank 0 skip the save.
         unet_lora, te_loras, rows, trainable_host = current_adapters()
         if config.save_train_state:
             save_train_state(os.path.join(output_save_dir, "train_state"), state)
         if not is_main_process:
             return
+        os.makedirs(output_save_dir, exist_ok=True)
         # refresh the degradation record: fallbacks after preprocess (e.g.
         # tokenizer synthetic vocab) must reach the saved config too
         from sd_lora_trainer_tpu.data.captioners import DEGRADATIONS
@@ -684,14 +689,6 @@ def train(config: TrainingConfig):
                 "ti_token_positions": np.stack([np.asarray(poss, np.int32)] * accum),
                 "latent_scale": np.float32(train_dataset.vae_scaling_factor),
             }
-            if world_size > 1:
-                from sd_lora_trainer_tpu.parallel.distributed import local_rows
-
-                rows = local_rows(config.train_batch_size, world_size, process_rank)
-                dummy = {
-                    k: v[:, rows] if getattr(v, "ndim", 0) >= 2 else v
-                    for k, v in dummy.items()
-                }
             throwaway = jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, "copy") else x, state)
             step_fn(throwaway, put_batch(dummy), frozen)
 

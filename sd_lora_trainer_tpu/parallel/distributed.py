@@ -10,12 +10,11 @@ ICI/DCN once `jax.distributed.initialize` has formed the cluster.
 Design (exact single-process equivalence):
 - every process runs the same deterministic host pipeline (same seed -> same
   EpochSampler permutation, same caption-dropout stream, same bucket
-  sequence), assembles the full GLOBAL batch description, and keeps only its
-  own row slice;
-- the global on-device batch is formed with
-  `jax.make_array_from_process_local_data` over the global mesh, so the jitted
-  step sees exactly the arrays a single-process run would — same collectives,
-  same loss;
+  sequence) and assembles the identical full GLOBAL batch;
+- the global on-device batch is formed with `jax.make_array_from_callback`
+  over the global mesh — each process materializes only its addressable
+  shards, with no host-side collectives — so the jitted step sees exactly the
+  arrays a single-process run would: same collectives, same loss;
 - `config.train_batch_size` stays GLOBAL (sharded over the 'data' axis that
   spans all hosts' devices);
 - checkpoint/render/plots run on process 0 only; sharded train state is
@@ -84,39 +83,29 @@ def maybe_initialize_distributed() -> Tuple[int, int]:
     return jax.process_count(), jax.process_index()
 
 
-def local_rows(n_global: int, world_size: int, rank: int) -> slice:
-    """This process's contiguous row slice of a global batch.
-
-    Contiguity matters: NamedSharding lays out the batch axis in mesh-device
-    order, and `jax.devices()` groups devices by process — so process p's
-    addressable shards are exactly rows [p*B/P, (p+1)*B/P)."""
-    assert n_global % world_size == 0, (n_global, world_size)
-    per = n_global // world_size
-    return slice(rank * per, (rank + 1) * per)
-
-
-def make_global_batch(local_batch, mesh: Mesh, world_size: int, leading: int = 1):
-    """Assemble the global on-device batch from per-process row slices.
+def make_global_batch(global_batch, mesh: Mesh, world_size: int, leading: int = 1):
+    """Assemble the global on-device batch from the (identical) full global
+    host batch every process computed.
 
     Leaves with a batch axis (ndim > `leading`) are sharded on the 'data'
-    axis spanning the global mesh; scalars replicate. The result is
-    indistinguishable from a single-process `shard_batch_tree` of the full
-    batch — the jitted step compiles identically."""
+    axis spanning the global mesh; scalars replicate. Built with
+    `jax.make_array_from_callback`, which materializes ONLY this process's
+    addressable shards and performs **no host collectives** —
+    make_array_from_process_local_data's assert_equal validation runs a Gloo
+    gather with a 30 s key-value timeout, which flakes whenever ranks drift
+    (e.g. compiling while timesharing cores). The result is indistinguishable
+    from a single-process `shard_batch_tree` of the same batch — the jitted
+    step compiles identically."""
     bsh = batch_sharding(mesh, leading=leading)
     rep = replicated(mesh)
 
     def put(x):
         x = np.asarray(x)
         if x.ndim >= leading + 1:
-            global_shape = (
-                x.shape[:leading]
-                + (x.shape[leading] * world_size,)
-                + x.shape[leading + 1 :]
-            )
-            return jax.make_array_from_process_local_data(bsh, x, global_shape)
-        return jax.make_array_from_process_local_data(rep, x, x.shape)
+            return jax.make_array_from_callback(x.shape, bsh, lambda idx: x[idx])
+        return jax.make_array_from_callback(x.shape, rep, lambda idx: x[idx])
 
-    return jax.tree.map(put, local_batch)
+    return jax.tree.map(put, global_batch)
 
 
 def gather_to_host(tree):

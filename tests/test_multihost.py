@@ -126,7 +126,8 @@ def test_two_process_step_matches_single_process(tiny_env):
     sp_cfg = root / "sp_config.json"
     sp_cfg.write_text(json.dumps(_config(tiny_env, root / "runs_sp")))
     p = _launch(sp_cfg, 8, {})
-    out, _ = p.communicate(timeout=900)
+    # generous: single-core build hosts run this alongside other work
+    out, _ = p.communicate(timeout=2400)
     assert p.returncode == 0, out[-3000:]
     assert "[sharding] dp over mesh" in out
 
@@ -138,7 +139,7 @@ def test_two_process_step_matches_single_process(tiny_env):
     procs = [
         _launch(mp_cfg, 4, {**common, "SDT_PROCESS_ID": str(i)}) for i in range(2)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-3000:]
     assert "[distributed] process 0/2" in outs[0] + outs[1]
