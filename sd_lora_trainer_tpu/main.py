@@ -125,7 +125,8 @@ def train(config: TrainingConfig):
     # multi-host: form the process cluster BEFORE first device use (no-op for
     # single-process runs — the reference's whole envelope). Every process
     # executes train(); host-side draws are deterministic from the seed so all
-    # processes agree on the global batch, and each keeps only its row slice.
+    # processes agree on the global batch, and each materializes only the
+    # shards living on its own devices (parallel/distributed.py).
     from sd_lora_trainer_tpu.parallel.distributed import maybe_initialize_distributed
 
     world_size, process_rank = maybe_initialize_distributed()
@@ -482,7 +483,7 @@ def train(config: TrainingConfig):
         if world_size > 1:
             from sd_lora_trainer_tpu.parallel.distributed import make_global_batch
 
-            return make_global_batch(batch, mesh, world_size, leading=leading)
+            return make_global_batch(batch, mesh, leading=leading)
         from sd_lora_trainer_tpu.parallel.sharding import shard_batch_tree
 
         return shard_batch_tree(batch, mesh, leading=leading)

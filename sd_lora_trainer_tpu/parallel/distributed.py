@@ -28,7 +28,7 @@ from typing import Tuple
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 
 from sd_lora_trainer_tpu.parallel.sharding import batch_sharding, replicated
 
@@ -83,7 +83,7 @@ def maybe_initialize_distributed() -> Tuple[int, int]:
     return jax.process_count(), jax.process_index()
 
 
-def make_global_batch(global_batch, mesh: Mesh, world_size: int, leading: int = 1):
+def make_global_batch(global_batch, mesh: Mesh, leading: int = 1):
     """Assemble the global on-device batch from the (identical) full global
     host batch every process computed.
 
