@@ -1,5 +1,9 @@
 """Fused qkv/kv projection layout (models/fuse.py) must be numerically
-identical to the unfused forward — with and without LoRA adapters grafted."""
+identical to the unfused forward — with and without LoRA adapters grafted —
+and through the FULL jitted train step (losses, adapter updates, optimizer
+moments: the path the `fuse_qkv` config default actually ships)."""
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -84,3 +88,49 @@ def test_fused_forward_with_lora_matches_and_grads_flow():
         if "to_q" in jax.tree_util.keystr(p) and np.abs(np.asarray(g)).sum() > 0
     ]
     assert nonzero
+
+
+def test_fused_train_step_matches_unfused():
+    """Multi-step equivalence through the REAL jitted train step: same
+    losses and same updated trainable tree whether the frozen UNet uses the
+    fused or the unfused layout."""
+    from tests.test_train_step import _batch, _cfg, _trainable, make_tiny_frozen
+    from sd_lora_trainer_tpu.training.optimizers import build_optimizer
+    from sd_lora_trainer_tpu.training.step import StepConfig, TrainState, make_train_step
+
+    frozen = make_tiny_frozen()
+    config = _cfg()
+    sc = dataclasses.replace(StepConfig.from_config(config, 1.0), use_flash=False)
+    trainable = _trainable(frozen, config, jax.random.PRNGKey(1))
+    optimizer = build_optimizer(config, trainable)
+    batch = _batch()
+
+    def run(fz):
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            trainable=jax.tree.map(jnp.copy, trainable),
+            opt_state=optimizer.init(trainable),
+            key=jax.random.PRNGKey(3),
+        )
+        step_fn = jax.jit(make_train_step(sc, optimizer))
+        losses = []
+        for _ in range(3):
+            state, metrics = step_fn(state, batch, fz)
+            losses.append(float(metrics["tot_loss"]))
+        return state, losses
+
+    frozen_fused = dataclasses.replace(
+        frozen, unet_params=fuse_attention_projections(frozen.unet_params)
+    )
+    s_ref, l_ref = run(frozen)
+    s_fused, l_fused = run(frozen_fused)
+    np.testing.assert_allclose(l_ref, l_fused, rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_ref.trainable)[0],
+        jax.tree_util.tree_flatten_with_path(s_fused.trainable)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )

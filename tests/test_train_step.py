@@ -38,8 +38,7 @@ def _cfg(**kw):
     return TrainingConfig(**base)
 
 
-@pytest.fixture(scope="module")
-def setup():
+def make_tiny_frozen():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     unet_cfg = TINY_SDXL_UNET_CONFIG
@@ -65,6 +64,11 @@ def setup():
         },
     )
     return frozen
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return make_tiny_frozen()
 
 
 def _batch(accum=1, batch=2, n_ti=3, vocab=256):
