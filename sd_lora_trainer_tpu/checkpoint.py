@@ -147,40 +147,54 @@ def save_train_state(path: str, state) -> None:
     """Persist TrainState (trainable + optimizer moments + step + key).
 
     Multiprocess: every rank must call this — sharded leaves (fsdp moments)
-    are all-gathered (a collective), then rank 0 alone writes. Single-process
-    runs take the plain numpy path."""
-    import orbax.checkpoint as ocp
+    are all-gathered (a collective), then rank 0 alone writes.
 
+    The write itself is a single flat safetensors file (leaves in pytree
+    order), NOT orbax: orbax's Checkpointer.save is itself a cross-process
+    collective (sync_global_processes barriers every rank must reach), so a
+    rank-0-only call after the gather would deadlock. A plain rank-local
+    file write has no such coupling, and structure lives in the template the
+    restorer already needs. The write is atomic (tmp + os.replace) so a
+    crash mid-save never corrupts the rolling resume state."""
     path = os.path.abspath(path)
+    tree = _as_pytree(state)
     if jax.process_count() > 1:
         from sd_lora_trainer_tpu.parallel.distributed import gather_to_host
 
-        host_tree = gather_to_host(_as_pytree(state))
+        host_tree = gather_to_host(tree)  # collective: every rank enters
         if jax.process_index() != 0:
             return
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     else:
-        host_tree = jax.tree.map(np.asarray, _as_pytree(state))
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, host_tree, force=True)
+        host_tree = jax.tree.map(np.asarray, tree)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    from sd_lora_trainer_tpu.utils.safetensors_io import save_safetensors
+
+    leaves = jax.tree_util.tree_leaves(host_tree)
+    tensors = {f"leaf_{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
+    tmp = path + ".tmp"
+    save_safetensors(tensors, tmp)
+    os.replace(tmp, path)
 
 
 def restore_train_state(path: str, template_state):
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), item=_as_pytree(template_state))
     from sd_lora_trainer_tpu.training.step import TrainState
+    from sd_lora_trainer_tpu.utils.safetensors_io import load_safetensors
 
+    tmpl_tree = _as_pytree(template_state)
+    treedef = jax.tree_util.tree_structure(tmpl_tree)
+    sd = load_safetensors(os.path.abspath(path))
+    leaves = [sd[k] for k in sorted(sd)]
+    if len(leaves) != treedef.num_leaves:
+        raise ValueError(
+            f"train state at {path} has {len(leaves)} leaves but the current "
+            f"model/optimizer configuration expects {treedef.num_leaves} — "
+            "resume must use the same config the state was saved with"
+        )
+    restored = jax.tree_util.tree_unflatten(treedef, leaves)
     return TrainState(
         step=jnp.asarray(restored["step"]),
         trainable=restored["trainable"],
-        # orbax restores opt_state as generic containers; rebuild the optax
-        # NamedTuple structure from the template
-        opt_state=jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(template_state.opt_state),
-            jax.tree_util.tree_leaves(restored["opt_state"]),
-        ),
+        opt_state=restored["opt_state"],
         key=jnp.asarray(restored["key"]),
     )
 

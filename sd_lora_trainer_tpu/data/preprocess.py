@@ -11,6 +11,14 @@ The deterministic geometry (aspect-ratio fitting, salience crop, mask
 dilation) matches the reference exactly and is unit-tested; the model-based
 stages (captioners, CLIPSeg, SwinIR, GPT cleanup) are pluggable with
 availability gating (see data/captioners.py).
+
+Attribution: the geometry/augmentation helpers below (hue_augmentation,
+color_jitter, random_crop, augment_image, grow_mask, center_of_mass,
+crop_to_aspect_ratio) are behavior-pinned transcriptions of
+edenartlab/sd-lora-trainer `trainer/preprocess.py:612-659, 945-1028` — the
+constants and clamping logic ARE the augmentation-distribution spec this
+rebuild reproduces. Those portions remain subject to the upstream OSNL v0.1
+license; see LICENSE (Third-party notices #1).
 """
 
 from __future__ import annotations

@@ -831,20 +831,38 @@ def train(config: TrainingConfig):
             yield min(global_step / config.max_train_steps + 0.05, 1.0)
 
     # ---- final save (reference main.py:466-547) ----
-    if (global_step - last_save_step) > 26 or last_save_step == 0:
+    # Gate on host-side step counters, which are identical python ints on
+    # every rank — NOT on os.path.exists: only rank 0 creates checkpoint
+    # dirs, so a filesystem check diverges across ranks (non-main ranks
+    # would enter the do_checkpoint/do_render collectives rank 0 skips and
+    # deadlock on pods without a shared FS; advisor r3).
+    need_final = (global_step - last_save_step) > 26 or last_save_step == 0
+    if need_final:
         output_save_dir = f"{checkpoint_dir}/checkpoint-{global_step}"
     else:
         output_save_dir = f"{checkpoint_dir}/checkpoint-{last_save_step}"
 
-    # NOTE: this condition must evaluate identically on every rank
-    # (do_checkpoint/do_render contain collectives in multiprocess mode)
-    if not os.path.exists(output_save_dir):
+    if need_final:
         do_checkpoint(output_save_dir)
         if config.debug and is_main_process:
             write_debug_plots()
         validation_prompts = do_render(output_save_dir)
     else:
         print(f"Skipping final save, {output_save_dir} already exists")
+
+    if config.debug and is_main_process:
+        # Reproducibility breadcrumb (reference main.py:538-543): snapshot
+        # the training source into the output dir in debug mode.
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_file_path = os.path.join(str(config.output_dir), "source_code.zip")
+        with zipfile.ZipFile(zip_file_path, "w", zipfile.ZIP_DEFLATED) as zipf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zipf.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
 
     config.job_time = time.time() - config.start_time
     config.training_attributes["validation_prompts"] = validation_prompts

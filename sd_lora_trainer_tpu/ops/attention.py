@@ -97,6 +97,11 @@ def self_attention(
             return jax.shard_map(
                 local_attn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
             )(q, k, v)
+        # heads (or batch) don't divide the mesh: running the Pallas custom
+        # call WITHOUT the shard_map would make GSPMD fully replicate q/k/v —
+        # the exact regression the old tp-disables-flash guard prevented.
+        # Einsum attention partitions fine under GSPMD, so fall back to it.
+        use_flash = False
     if use_flash:
         from sd_lora_trainer_tpu.ops.flash_attention import flash_attention_qualifies, flash_mha
 

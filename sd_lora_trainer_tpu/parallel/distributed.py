@@ -79,6 +79,21 @@ def maybe_initialize_distributed() -> Tuple[int, int]:
         try:
             jax.distributed.initialize()
         except RuntimeError as e:
+            # A backend some wrapper already initialized raises here even
+            # when the cluster is fine — but on a GENUINE multi-worker slice
+            # a silent fallback to single-process means every host trains
+            # independently with the wrong world size and races on the
+            # output dir. Verify the world size actually matches before
+            # continuing (advisor r3).
+            n_workers = len([w for w in workers.split(",") if w])
+            if n_workers > 1 and jax.process_count() != n_workers:
+                raise RuntimeError(
+                    f"TPU slice advertises {n_workers} workers "
+                    f"(TPU_WORKER_HOSTNAMES={workers!r}) but "
+                    f"jax.distributed.initialize failed and "
+                    f"process_count={jax.process_count()} — refusing to "
+                    f"continue as an independent single-process run: {e}"
+                ) from e
             print(f"[distributed] auto-initialize skipped: {e}")
     return jax.process_count(), jax.process_index()
 

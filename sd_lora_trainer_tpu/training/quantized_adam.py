@@ -34,26 +34,53 @@ def _pad_len(n: int) -> int:
     return (n + BLOCK - 1) // BLOCK * BLOCK
 
 
-# 8-bit dynamic codebooks (bitsandbytes-style): linear absmax quantization
+# 8-bit dynamic codebooks — bitsandbytes' exact `create_dynamic_map`
+# (bitsandbytes/functional.py; the datatype from "8-bit Optimizers via
+# Block-wise Quantization", Dettmers et al. 2022). Linear absmax quantization
 # zeroes small entries, and Adam's second moment spans many decades within a
-# block — 1/sqrt(v) then explodes. A geometric codebook keeps RELATIVE
-# precision over ~7 decades instead.
-_DECADES = 7.0
+# block — 1/sqrt(v) then explodes. The dynamic datatype spends ~3 bits on a
+# base-10 exponent (7 decades) and the rest on a linear fraction, keeping
+# RELATIVE precision: 2^i fraction values in the i-th decade (signed), with
+# exact 0 and 1.0 appended. Using bnb's exact code values (not just the same
+# scheme) makes quantized moments BIT-compatible with bitsandbytes states:
+# a (q, absmax) pair exported here dequantizes identically under bnb and
+# vice versa. Pinned by tests/golden/bnb_dynamic_map.json.
+def _create_dynamic_map(signed: bool, max_exponent_bits: int = 7, total_bits: int = 8):
+    import numpy as np
+
+    data = []
+    non_sign_bits = total_bits - 1
+    additional_items = 2 ** (non_sign_bits - max_exponent_bits) - 1
+    for i in range(max_exponent_bits):
+        fraction_items = int(
+            2 ** (i + non_sign_bits - max_exponent_bits) + 1
+            if signed
+            else 2 ** (i + non_sign_bits - max_exponent_bits + 1) + 1
+        )
+        boundaries = np.linspace(0.1, 1, fraction_items)
+        means = (boundaries[:-1] + boundaries[1:]) / 2.0
+        data += ((10 ** (-(max_exponent_bits - 1) + i)) * means).tolist()
+        if signed:
+            data += (-(10 ** (-(max_exponent_bits - 1) + i)) * means).tolist()
+    if additional_items > 0:
+        boundaries = np.linspace(0.1, 1, additional_items + 1)
+        means = (boundaries[:-1] + boundaries[1:]) / 2.0
+        data += ((10 ** (-(max_exponent_bits - 1) + max_exponent_bits - 1)) * means).tolist()
+        if signed:
+            data += (-(10 ** (-(max_exponent_bits - 1) + max_exponent_bits - 1)) * means).tolist()
+    data.append(0)
+    data.append(1.0)
+    gap = 256 - len(data)
+    data += [0] * gap
+    data.sort()
+    return jnp.asarray(data, jnp.float32)
 
 
-def _unsigned_map() -> jnp.ndarray:
-    # index 0 -> exact 0; 1..255 -> geometric ramp absmax*10^-7 .. absmax
-    ramp = jnp.logspace(-_DECADES, 0.0, 255)
-    return jnp.concatenate([jnp.zeros((1,)), ramp])
-
-
-def _signed_map() -> jnp.ndarray:
-    ramp = jnp.logspace(-_DECADES, 0.0, 127)
-    return jnp.concatenate([-ramp[::-1], jnp.zeros((1,)), ramp])  # 255 entries
-
-
-_UMAP = _unsigned_map()
-_SMAP = _signed_map()
+_UMAP = _create_dynamic_map(signed=False)
+_SMAP = _create_dynamic_map(signed=True)
+# index of exact 0 in each sorted map (moment init state)
+_UZERO = 0
+_SZERO = 127
 
 
 def _nearest_index(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
@@ -119,9 +146,8 @@ def adamw8bit(
 
         return AdamW8bitState(
             count=jnp.zeros((), jnp.int32),
-            # zero index: 127 in the signed map (middle), 0 in the unsigned map
-            mu=jax.tree.map(lambda p: qzero(p, 127), params),
-            nu=jax.tree.map(lambda p: qzero(p, 0), params),
+            mu=jax.tree.map(lambda p: qzero(p, _SZERO), params),
+            nu=jax.tree.map(lambda p: qzero(p, _UZERO), params),
         )
 
     def update_fn(grads, state, params):

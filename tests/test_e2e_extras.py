@@ -161,12 +161,23 @@ def test_bucketed_training_run(tiny_env):
     BucketPlan batching through the real train loop (the path that is broken
     in the reference, dataset.py:115-136)."""
     config, save_dir = _run_train(
-        tiny_env, name="bucketed", aspect_ratio_bucketing=True, max_train_steps=3
+        tiny_env, name="bucketed", aspect_ratio_bucketing=True, max_train_steps=3,
+        debug=True,
     )
     files = os.listdir(save_dir)
     assert any(f.endswith("_lora.safetensors") for f in files)
     args = json.load(open(os.path.join(save_dir, "training_args.json")))
     assert args["aspect_ratio_bucketing"] is True
+
+    # debug mode drops a source snapshot in the output dir (reference
+    # main.py:538-543) — the zip contains the package's .py files
+    import zipfile
+
+    zip_path = os.path.join(str(config.output_dir), "source_code.zip")
+    assert os.path.exists(zip_path), os.listdir(str(config.output_dir))
+    names = zipfile.ZipFile(zip_path).namelist()
+    assert any(n.endswith("main.py") for n in names)
+    assert any(n.endswith("training/step.py") for n in names)
 
 
 def test_render_images_eval_from_disk(tiny_env):

@@ -68,3 +68,34 @@ def test_adamw8bit_state_memory_is_int8():
     assert state.nu["w"].q.dtype == jnp.uint8
     # scales are tiny relative to the moment payload
     assert state.mu["w"].scale.size * 4 < state.mu["w"].q.size // 100
+
+
+def test_dynamic_map_matches_bitsandbytes_golden():
+    """The codebooks are bitsandbytes' exact create_dynamic_map output
+    (signed for m, unsigned for v), pinned in tests/golden/bnb_dynamic_map.json
+    — quantized states interchange bit-for-bit with bnb's AdamW8bit."""
+    import json
+    import os
+
+    from sd_lora_trainer_tpu.training.quantized_adam import _SMAP, _SZERO, _UMAP, _UZERO
+
+    golden = json.load(
+        open(os.path.join(os.path.dirname(__file__), "golden", "bnb_dynamic_map.json"))
+    )
+    s = np.asarray(_SMAP, np.float64)
+    u = np.asarray(_UMAP, np.float64)
+    np.testing.assert_allclose(s, np.asarray(golden["signed"]), rtol=0, atol=0)
+    np.testing.assert_allclose(u, np.asarray(golden["unsigned"]), rtol=0, atol=0)
+
+    # structural facts of bnb's dynamic datatype (8-bit, 7 exponent decades)
+    assert s.size == 256 and u.size == 256
+    assert s[_SZERO] == 0.0 and u[_UZERO] == 0.0
+    assert s[-1] == 1.0 and u[-1] == 1.0
+    # smallest positive magnitude: 10^-6 * mean(linspace(0.1, 1, 2)) = 5.5e-7
+    assert np.isclose(s[s > 0].min(), 5.5e-7)
+    # per-decade population: 2^i signed values in decade i (i=0..6)
+    for i in range(7):
+        lo, hi = 10.0 ** (-6 + i - 1), 10.0 ** (-6 + i)
+        n = int(((s > lo) & (s <= hi)).sum())
+        assert n == 2**i + (1 if i == 6 else 0), (i, n)  # decade 6 includes 1.0
+    assert np.all(np.diff(s) > 0) and np.all(np.diff(u) >= 0)
