@@ -134,7 +134,16 @@ def main():
     if os.environ.get("BENCH_FLASH", "1") == "0":
         sc = dataclasses.replace(sc, use_flash=False)
         print("[bench] flash attention DISABLED (einsum path)", flush=True, file=sys.stderr)
-    remat_mode = os.environ.get("BENCH_REMAT", "full")
+    remat_mode = os.environ.get("BENCH_REMAT", "auto")
+    if remat_mode == "auto":
+        # mirror the product's remat="auto" resolution (main.py): measured
+        # round-4 plans — SD15 <=512px fits without remat (25.4 -> 31.4
+        # imgs/s); SDXL saves the flash kernel residuals (4.26 -> 4.32)
+        remat_mode = (
+            "off" if (model == "sd15" and resolution <= 512 and batch_size <= 16)
+            else "save:flash_out*,flash_lse*"
+        )
+        print(f"[bench] remat auto -> {remat_mode}", flush=True, file=sys.stderr)
     if remat_mode == "dots":
         sc = dataclasses.replace(sc, remat="dots")
         print("[bench] remat policy: dots_with_no_batch_dims_saveable", flush=True, file=sys.stderr)
@@ -144,6 +153,12 @@ def main():
     elif remat_mode == "off":
         sc = dataclasses.replace(sc, remat=False)
         print("[bench] remat DISABLED", flush=True, file=sys.stderr)
+    elif remat_mode.startswith(("save:", "offload:")):
+        # named-activation remat (models/unet.py): e.g.
+        # BENCH_REMAT='save:flash_out*,flash_lse*' keeps the flash kernel's
+        # softmax residuals on device, eliding its fwd recompute in backward
+        sc = dataclasses.replace(sc, remat=remat_mode)
+        print(f"[bench] remat policy: {remat_mode}", flush=True, file=sys.stderr)
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles

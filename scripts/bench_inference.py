@@ -34,11 +34,19 @@ def main():
 
     from sd_lora_trainer_tpu.inference import _sample
     from sd_lora_trainer_tpu.models.unet import SDXL_UNET_CONFIG, init_unet_params
-    from sd_lora_trainer_tpu.models.vae import SDXL_VAE_CONFIG, init_vae_params, vae_decode
+    from sd_lora_trainer_tpu.models.vae import (
+        SDXL_VAE_CONFIG,
+        init_vae_params,
+        vae_decode_batched,
+    )
 
     key = jax.random.PRNGKey(0)
     print(f"[bench-inf] init SDXL unet+vae ({resolution}px, {n_steps} steps)...", flush=True)
     unet = jax.jit(lambda k: init_unet_params(k, SDXL_UNET_CONFIG, dtype=jnp.bfloat16))(key)
+    from sd_lora_trainer_tpu.models.fuse import fuse_attention_projections
+
+    if os.environ.get("BENCH_INF_FUSE", "0") == "1":  # measured loser on the fwd-only sampler
+        unet = fuse_attention_projections(unet)  # mirrors render_images
     vae = jax.jit(lambda k: init_vae_params(k, SDXL_VAE_CONFIG, dtype=jnp.bfloat16))(
         jax.random.fold_in(key, 1)
     )
@@ -55,12 +63,17 @@ def main():
         jax.random.fold_in(key, 6), (batch, latent, latent, 4), jnp.float32
     )
     pipe_static = (SDXL_UNET_CONFIG, "sdxl", None)
-    decode = jax.jit(lambda z: vae_decode(vae, z.astype(jnp.bfloat16), SDXL_VAE_CONFIG))
+    # memory-capped batch decode (models/vae.py): lax.map chunks the batch
+    # to the safe per-step footprint — bit-exact, zero redundancy, one
+    # dispatch (a plain batch-4 1024px decode OOMs 16G HBM)
+    decode = jax.jit(
+        lambda z: vae_decode_batched(vae, z.astype(jnp.bfloat16), SDXL_VAE_CONFIG)
+    )
 
     print(f"[bench-inf] compiling (batch={batch})...", flush=True)
     t0 = time.time()
     z = _sample(pipe_static, unet, latents, c, uc, pc, puc, add_ids, n_steps, 8.0)
-    img = decode(z[:1])
+    img = decode(z)
     val = float(jnp.sum(img.astype(jnp.float32)))
     print(f"[bench-inf] compile+first render {time.time() - t0:.1f}s (chk {val:.1f})", flush=True)
 
@@ -68,9 +81,7 @@ def main():
     t0 = time.time()
     for _ in range(n_calls):
         z = _sample(pipe_static, unet, latents, c, uc, pc, puc, add_ids, n_steps, 8.0)
-        # decode per image — batch-4 decode at 1024px OOMs 16 GB HBM
-        for i in range(batch):
-            img = decode(z[i : i + 1])
+        img = decode(z)
     float(jnp.sum(img.astype(jnp.float32)))  # hard sync
     dt = time.time() - t0
 

@@ -168,8 +168,11 @@ class TrainingConfig(BaseModel):
     # Megatron-style sharding of the UNet attention/ff projections). TP runs
     # use einsum attention (the Pallas flash kernel has no SPMD partitioner).
     mesh_model_parallel: int = 2
-    # Rematerialization policy for the UNet blocks under jit.
-    remat: bool = True
+    # Rematerialization policy for the UNet blocks under jit: "auto" picks
+    # the measured-best plan per model/resolution (main.py); True/False force
+    # full/no remat; "light", "dots", "save:<names>", "offload:<names>" select
+    # explicit policies (models/unet.py:unet_forward).
+    remat: Union[bool, str] = "auto"
     # Fuse attn1 q/k/v (and attn2 k/v) base kernels into single matmuls for
     # the jitted step's frozen copy (models/fuse.py). Numerics identical
     # (tests/test_fused_qkv.py); auto-disabled with DoRA (needs per-projection

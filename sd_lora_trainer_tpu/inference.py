@@ -29,7 +29,7 @@ from sd_lora_trainer_tpu.diffusion.schedulers import DDPMSchedule, EulerDiscrete
 from sd_lora_trainer_tpu.models.clip import CLIPTextConfig, clip_text_forward
 from sd_lora_trainer_tpu.models.lora import merge_lora
 from sd_lora_trainer_tpu.models.unet import UNetConfig, unet_forward
-from sd_lora_trainer_tpu.models.vae import VAEConfig, vae_decode
+from sd_lora_trainer_tpu.models.vae import VAEConfig, vae_decode_batched
 from sd_lora_trainer_tpu.utils.utils import fix_prompt, replace_in_string
 from sd_lora_trainer_tpu.utils.val_prompts import val_prompts
 
@@ -366,9 +366,6 @@ def render_images(
     lw, lh = w // factor, h // factor
 
     key = jax.random.PRNGKey(seed)
-    decode = jax.jit(
-        lambda z: vae_decode(pipe.vae_params, z.astype(jnp.bfloat16), pipe.vae_config)
-    )
     pipe_static = (pipe.unet_config, pipe.version, None)
 
     # Batch ALL prompts into one sampling call: the CFG UNet forward runs at
@@ -396,6 +393,10 @@ def render_images(
     add_ids = None if add_ids is None else jnp.tile(add_ids, (n, 1))
     latents = jnp.concatenate(latents_list, axis=0)
 
+    # NOTE: qkv/kv projection fusion is deliberately NOT applied here —
+    # measured on the fwd-only CFG sampler it LOSES ~2% (3.09 vs 3.03 s/img
+    # @1024px batch-4); the fusion win is specific to the train step's
+    # fwd+bwd+remat profile (BENCH_NOTES.md round 4).
     # precision="fp32" gives the numerically conservative path (fp32 UNet,
     # einsum attention) for precision-sensitive eval; default bf16+flash.
     z = _sample(
@@ -406,13 +407,19 @@ def render_images(
     )
     from PIL import Image
 
-    # Decode per image: the VAE decoder's activations at 1024px are ~GBs per
-    # sample — a batch-4 decode blows 16 GB HBM (measured RESOURCE_EXHAUSTED),
-    # while the sampling loop above is safely batched (latent-res activations).
+    # Decode the whole render batch in ONE call (models/vae.py:
+    # vae_decode_batched): lax.map chunks the batch so each step stays
+    # within the measured-safe 1024px-image activation footprint (a plain
+    # batch-4 decode at 1024px OOMs 16 GB HBM) — bit-exact, zero redundant
+    # work, one dispatch; >1024px single images fall back to spatial tiling.
+    imgs = jax.jit(
+        lambda zz: vae_decode_batched(
+            pipe.vae_params, zz.astype(jnp.bfloat16), pipe.vae_config
+        )
+    )(z)
+    imgs = np.asarray((jnp.clip(imgs.astype(jnp.float32), -1, 1) + 1) * 127.5).astype(np.uint8)
     for i in range(n):
-        img = decode(z[i : i + 1])
-        arr = np.asarray((jnp.clip(img[0], -1, 1) + 1) * 127.5).astype(np.uint8)
-        Image.fromarray(arr).save(
+        Image.fromarray(imgs[i]).save(
             os.path.join(lora_path, f"img_{train_step:04d}_{i}.jpg"), quality=95
         )
     return prompts

@@ -323,6 +323,23 @@ def train(config: TrainingConfig):
 
     img_ratio = config.train_img_size[0] / config.train_img_size[1]
     sc = StepConfig.from_config(config, img_ratio)
+    if sc.remat == "auto":
+        # Measured round-4 plans (BENCH_NOTES.md): at <=512px SD15's full
+        # activation set fits 16G HBM, so remat is pure recompute waste
+        # (25.4 -> 31.4 imgs/s with it off); SDXL keeps full block remat but
+        # saves the flash kernel's softmax residuals on device, eliding the
+        # fwd-kernel recompute in backward (4.26 -> 4.32 imgs/s @1024px).
+        res = max(config.train_img_size)
+        if (
+            config.sd_model_version == "sd15"
+            and res <= 512
+            and config.train_batch_size <= 16
+        ):
+            auto = False
+        else:
+            auto = "save:flash_out*,flash_lse*"
+        sc = dataclasses.replace(sc, remat=auto)
+        print(f"[remat] auto -> {auto}")
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         import dataclasses as _dc
@@ -334,10 +351,13 @@ def train(config: TrainingConfig):
     # pinned by tests/test_steps_per_call.py). Falls back to 1 when shapes
     # can vary per call (bucketing) or per-step traces matter (debug).
     steps_per_call = max(int(config.steps_per_call), 1)
-    if steps_per_call > 1 and (config.aspect_ratio_bucketing or config.debug):
-        reason = "aspect_ratio_bucketing" if config.aspect_ratio_bucketing else "debug"
-        print(f"[steps_per_call] {reason} needs per-step granularity; using 1")
+    if steps_per_call > 1 and config.debug:
+        print("[steps_per_call] debug needs per-step granularity; using 1")
         steps_per_call = 1
+    # Bucketed runs keep K>1: all K batches of one call are drawn from the
+    # SAME bucket resolution (one compiled shape per call; see the grouped
+    # drawing in assemble_batch/draw_bucketed below). Each bucket resolution
+    # compiles its own K-scan program, covered by prewarm_compile.
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles
@@ -511,37 +531,57 @@ def train(config: TrainingConfig):
     accum = config.gradient_accumulation_steps
     token_string = config.token_dict["TOK"]
 
-    def assemble_batch() -> Dict[str, np.ndarray]:
+    # Buffered bucket draws: when a group (the `accum` micro-batches of one
+    # step, or the K steps of one jitted call) is pinned to one resolution,
+    # draws of OTHER resolutions are buffered and replayed for later groups
+    # instead of discarded — the plan's marginal per-bucket frequency (and so
+    # per-image epoch exposure) is preserved; only short-range ordering
+    # changes (runs of same-resolution batches), which is the premise of
+    # bucketing itself. Reference sampling semantics:
+    # trainer/utils/aspect_ratio_bucketing.py:163-220 (one bucket per batch,
+    # chosen ∝ bucket size — the group leader here follows exactly that law,
+    # and followers inherit the leader's bucket).
+    pending_draws: List = []
+
+    def draw_bucketed(step_res):
+        if step_res is not None:
+            for i, (d, r) in enumerate(pending_draws):
+                if r == step_res:
+                    return pending_draws.pop(i)
+        for _ in range(16):
+            data, res = train_dataset.bucketed_batch()
+            res = tuple(res)
+            if step_res is None or res == step_res:
+                return data, res
+            pending_draws.append((data, res))
+            if len(pending_draws) > 64:
+                pending_draws.pop(0)
+        # the plan ran dry of this resolution: resample the step bucket's pool
+        store = train_dataset.bucket_latents[step_res]
+        ids = list(store.keys())
+        pick = rng.choice(ids, size=config.train_batch_size, replace=True)
+        data = {
+            "latent_mean": np.stack([store[i][0] for i in pick]),
+            "latent_logvar": np.stack([store[i][1] for i in pick]),
+            "mask": np.stack([store[i][2] for i in pick]),
+            "captions": [train_dataset.captions[i] for i in pick],
+        }
+        return data, step_res
+
+    def assemble_batch(step_res=None):
         """Host-side batch prep: sampling, caption dropout, tokenization,
-        DAAM caption analysis; stacks [accum, B, ...].
+        DAAM caption analysis; stacks [accum, B, ...]. Returns (batch, res).
 
         With bucketing, all micro-batches of one optimizer step share ONE
         resolution (stacked arrays must be uniform; one compiled shape per
-        step): the first draw picks the bucket, later draws retry for the
-        same resolution and fall back to sampling that bucket's own pool."""
-        step_res = None
+        step); `step_res` additionally pins the whole draw to a resolution
+        chosen by an earlier step of the same jitted K-scan call."""
         micro = []
         for _ in range(accum):
             if config.aspect_ratio_bucketing:
-                data, res = train_dataset.bucketed_batch()
+                data, res = draw_bucketed(step_res)
                 if step_res is None:
                     step_res = tuple(res)
-                elif tuple(res) != step_res:
-                    for _retry in range(10):
-                        data, res = train_dataset.bucketed_batch()
-                        if tuple(res) == step_res:
-                            break
-                    if tuple(res) != step_res:
-                        # resample ids from the step bucket's own cache
-                        store = train_dataset.bucket_latents[step_res]
-                        ids = list(store.keys())
-                        pick = rng.choice(ids, size=config.train_batch_size, replace=True)
-                        data = {
-                            "latent_mean": np.stack([store[i][0] for i in pick]),
-                            "latent_logvar": np.stack([store[i][1] for i in pick]),
-                            "mask": np.stack([store[i][2] for i in pick]),
-                            "captions": [train_dataset.captions[i] for i in pick],
-                        }
             else:
                 data = train_dataset.batch(sampler.next_batch(config.train_batch_size))
             captions = list(data["captions"])
@@ -572,7 +612,7 @@ def train(config: TrainingConfig):
             micro.append(full)
         batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
         batch["latent_scale"] = np.float32(train_dataset.vae_scaling_factor)
-        return batch
+        return batch, step_res
 
     def current_adapters():
         # multiprocess: replicate any sharded leaves and pull to host numpy —
@@ -690,8 +730,11 @@ def train(config: TrainingConfig):
                 "ti_token_positions": np.stack([np.asarray(poss, np.int32)] * accum),
                 "latent_scale": np.float32(train_dataset.vae_scaling_factor),
             }
+            if steps_per_call > 1:
+                # the K-scan program expects a [K, accum, ...] stacked batch
+                dummy = {k: np.stack([v] * steps_per_call) for k, v in dummy.items()}
             throwaway = jax.tree.map(lambda x: jnp.copy(x) if hasattr(x, "copy") else x, state)
-            step_fn(throwaway, put_batch(dummy), frozen)
+            step_fn(throwaway, put_batch(dummy, leading=2 if steps_per_call > 1 else 1), frozen)
 
     validation_prompts: List[str] = []
     progress_stride = max(config.max_train_steps // 100, 1)
@@ -742,8 +785,18 @@ def train(config: TrainingConfig):
         # interrupted run left off (device PRNG continues via the restored
         # key: per-step keys are fold_in(state.key, step))
         print(f"[resume] fast-forwarding host data RNG through {resume_step} steps")
-        for _ in range(resume_step):
-            assemble_batch()
+        # replay the SAME grouped drawing pattern the loop uses so the host
+        # RNG/bucket-plan stream lands exactly where the interrupted run was
+        ff = 0
+        while ff < resume_step:
+            if steps_per_call > 1:
+                _, r = assemble_batch()
+                for _ in range(steps_per_call - 1):
+                    assemble_batch(r)
+                ff += steps_per_call
+            else:
+                assemble_batch()
+                ff += 1
 
     # steps_per_call rounds the run length UP to a K multiple so every call
     # has the same compiled shape (K=1 leaves it untouched). Anchored at the
@@ -765,11 +818,17 @@ def train(config: TrainingConfig):
 
     while global_step < effective_max:
         if steps_per_call > 1:
-            drawn = [assemble_batch() for _ in range(steps_per_call)]
+            # grouped drawing: the first batch picks the resolution (under
+            # bucketing), the remaining K-1 are pinned to it so the whole
+            # call is one compiled shape
+            first, call_res = assemble_batch()
+            drawn = [first] + [
+                assemble_batch(call_res)[0] for _ in range(steps_per_call - 1)
+            ]
             batch = {k: np.stack([b[k] for b in drawn]) for k in drawn[0]}
             batch = put_batch(batch, leading=2)
         else:
-            batch = put_batch(assemble_batch())
+            batch = put_batch(assemble_batch()[0])
         state, metrics = step_fn(state, batch, frozen)
         global_step += steps_per_call
         images_done += config.train_batch_size * accum * steps_per_call

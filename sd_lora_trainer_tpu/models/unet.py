@@ -143,6 +143,13 @@ def _transformer_block(
     use_flash: bool,
     flash_tp=None,
 ):
+    from jax.ad_checkpoint import checkpoint_name
+
+    # checkpoint_name tags: inert without a naming remat policy; a
+    # "save:..."/"offload:..." remat mode (unet_forward) uses them to keep
+    # selected intermediates instead of recomputing them in backward. The
+    # channel suffix lets policies target one resolution level at a time.
+    tag = f"_c{x.shape[-1]}"
     # self-attention
     h = layer_norm(p["norm1"], x)
     a1 = p["attn1"]
@@ -160,7 +167,10 @@ def _transformer_block(
         q = dense(a1["to_q"], h)
         k = dense(a1["to_k"], h)
         v = dense(a1["to_v"], h)
-    attn = self_attention(q, k, v, heads, use_flash=use_flash, tp_shard=flash_tp)
+    attn = self_attention(
+        q, k, v, heads, use_flash=use_flash, tp_shard=flash_tp, name_tag=tag
+    )
+    attn = checkpoint_name(attn, f"attn_out{tag}")
     x = x + dense(a1["to_out.0"], attn)
 
     # cross-attention (+ optional DAAM score capture)
@@ -177,6 +187,7 @@ def _transformer_block(
         k = dense(a2["to_k"], ctx)
         v = dense(a2["to_v"], ctx)
     attn, scores = multihead_attention(q, k, v, heads, capture_scores=capture)
+    attn = checkpoint_name(attn, f"attn_out{tag}")
     x = x + dense(a2["to_out.0"], attn)
 
     # GEGLU feed-forward
@@ -193,9 +204,11 @@ def _transformer_block(
         if bias.ndim == 1:
             bias = bias.reshape(2, -1)
         h2 = h2 + bias.astype(h.dtype)
+        h2 = checkpoint_name(h2, f"ff_hidden{tag}")
         a, b = h2[..., 0, :], h2[..., 1, :]
     else:
-        a, b = jnp.split(dense(p["ff.net.0.proj"], h), 2, axis=-1)
+        h2 = checkpoint_name(dense(p["ff.net.0.proj"], h), f"ff_hidden{tag}")
+        a, b = jnp.split(h2, 2, axis=-1)
     x = x + dense(p["ff.net.2"], a * gelu(b))
     return x, scores
 
@@ -240,6 +253,34 @@ def _spatial_transformer(
 # ---------------------------------------------------------------------------
 
 
+def _named_policy_remat(spec: str, cfg: "UNetConfig"):
+    """Named-activation remat: full recompute EXCEPT the listed
+    checkpoint_name'd intermediates, which are saved on device ("save:") or
+    offloaded to host DRAM ("offload:", streamed back by XLA in backward).
+    Names come from _transformer_block / flash_attention._named_flash; a
+    trailing '*' expands over the per-level channel suffixes, e.g.
+    "save:flash_out*,flash_lse*"."""
+    kind, _, raw = spec.partition(":")
+    channels = sorted(set(cfg.block_out_channels))
+    names = []
+    for n in raw.split(","):
+        n = n.strip()
+        if n.endswith("*"):
+            names += [n[:-1] + f"_c{c}" for c in channels]
+        elif n:
+            names.append(n)
+    if kind == "save":
+        policy = jax.checkpoint_policies.save_only_these_names(*names)
+    else:
+        policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=names,
+            offload_src="device",
+            offload_dst="pinned_host",
+        )
+    return lambda f: jax.checkpoint(f, policy=policy)
+
+
 def unet_forward(
     params: dict,
     latents: jnp.ndarray,  # [B, H, W, 4]
@@ -279,7 +320,17 @@ def unet_forward(
         temb = temb + add_emb
     temb = temb.astype(latents.dtype)
 
-    if remat == "dots":
+    if isinstance(remat, str) and remat.startswith("light+"):
+        # "light+save:<names>": plain-resnet layers save all activations
+        # (light), attention layers remat with the named-save policy
+        _, _, sub = remat.partition("+")
+        remat_attn = _named_policy_remat(sub, cfg)
+        maybe_remat = remat_attn
+        remat_plain = lambda f: f  # noqa: E731
+    elif isinstance(remat, str) and remat.startswith(("save:", "offload:")):
+        maybe_remat = _named_policy_remat(remat, cfg)
+        remat_plain = maybe_remat
+    elif remat == "dots":
         # save matmul/conv outputs, recompute elementwise — trades a little
         # HBM for much less recomputation in the backward pass
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable

@@ -118,6 +118,123 @@ def vae_decode(params: dict, latents: jnp.ndarray, cfg: VAEConfig = SD15_VAE_CON
     return x
 
 
+def vae_decode_batched(
+    params: dict,
+    latents: jnp.ndarray,
+    cfg: VAEConfig = SD15_VAE_CONFIG,
+    max_latent_px: int = 128 * 128,
+) -> jnp.ndarray:
+    """Memory-capped batch decode: EXACT results at bounded activation size.
+
+    The decoder's activations are ~GBs per 1024px sample (batch-4 @1024px
+    OOMs 16G HBM), but decode is COMPUTE-bound at high resolution, so
+    spatial tiling's redundant overlap pixels cost real time (measured
+    3.22 s/img tiled vs 3.03 per-image for the 4-prompt 1024px validation
+    render). This instead chunks the BATCH with `lax.map` so each map step
+    decodes at most `max_latent_px` latent pixels (default = one 1024px
+    image, the measured-safe footprint): zero redundancy, bit-exact vs the
+    plain decode, one dispatch for the whole render batch. Only when a
+    SINGLE image exceeds the budget does it fall back to spatial tiling
+    (`vae_decode_tiled`), which trades exactness for a fixed footprint.
+    """
+    b, H, W, _ = latents.shape
+    if H * W > max_latent_px:
+        return vae_decode_tiled(params, latents, cfg)
+    per = max(int(max_latent_px // (H * W)), 1)
+    if per >= b:
+        return vae_decode(params, latents, cfg)
+    nchunk = -(-b // per)
+    pad = nchunk * per - b
+    z = latents
+    if pad:
+        z = jnp.concatenate([z, jnp.zeros((pad, H, W, z.shape[-1]), z.dtype)])
+    chunks = z.reshape(nchunk, per, H, W, -1)
+    out = jax.lax.map(lambda c: vae_decode(params, c, cfg), chunks)
+    f = 2 ** (len(cfg.block_out_channels) - 1)
+    return out.reshape(nchunk * per, H * f, W * f, -1)[:b]
+
+
+def _taper(length: int, overlap: int) -> jnp.ndarray:
+    """[length] blend weights: linear ramp over `overlap` px at both ends.
+
+    Adjacent tiles' ramps sum to 1 across the overlap; border pixels (no
+    neighbor) are fixed by the caller's weight normalization."""
+    ramp = jnp.arange(1, overlap + 1, dtype=jnp.float32) / (overlap + 1)
+    mid = jnp.ones((length - 2 * overlap,), jnp.float32)
+    return jnp.concatenate([ramp, mid, ramp[::-1]])
+
+
+def vae_decode_tiled(
+    params: dict,
+    latents: jnp.ndarray,
+    cfg: VAEConfig = SD15_VAE_CONFIG,
+    tile: int = 80,
+    overlap: int = 16,
+) -> jnp.ndarray:
+    """Spatial-tile decode with overlap blending — batch decodes at 1024px+.
+
+    `tile` is the MAX latent tile edge (80 = 640px decoded); the plan picks
+    the fewest evenly-spread tiles with >= `overlap` latent px of overlap,
+    so a 1024px latent decodes as 2x2 tiles of 72 (1.27x pixel redundancy),
+    not a 3x3 fixed-stride grid (2.25x).
+
+    The decoder's activations are ~GBs per 1024px sample (a batch-4 plain
+    decode OOMs 16 GB HBM), so the reference decodes per image
+    (trainer/inference.py:370-394 runs the pipeline per prompt). Here the
+    latent is split into overlapping `tile`×`tile` tiles (64 latent = 512px),
+    every tile of every batch element is decoded by one `lax.map` over a
+    uniform tile stack (static shapes, one compile), and tiles are
+    overlap-added with linear ramps, normalized by the accumulated weight.
+    Seams differ from the untiled decode only where receptive fields cross
+    tile borders; tests pin the deviation. Tiles fix the activation
+    footprint at B×512px regardless of resolution.
+    """
+    b, H, W, _ = latents.shape
+    if H <= tile and W <= tile:
+        return vae_decode(params, latents, cfg)
+
+    def plan(n: int):
+        """(tile_size, positions): FEWEST tiles covering `n` with >= `overlap`
+        latent px of overlap, spread evenly. Minimizing tile count minimizes
+        redundant decode work — the naive fixed-stride grid decodes up to
+        2.25x the pixels (measured 3.37 s/img vs 3.12 untiled at 1024px);
+        this plan cuts the redundancy to (count*t)/n per dim (~1.13x at
+        1024px)."""
+        if n <= tile:
+            return n, [0]
+        count = -(-(n - overlap) // (tile - overlap))  # ceil
+        t = -(-(n + (count - 1) * overlap) // count)
+        t = min(-(-t // 8) * 8, n)  # multiple of 8 for clean upsampling
+        if t >= n:
+            return n, [0]
+        return t, [round(i * (n - t) / (count - 1)) for i in range(count)]
+
+    th, ys = plan(H)
+    tw, xs = plan(W)
+    if (th, tw) == (H, W):
+        return vae_decode(params, latents, cfg)
+    tiles = jnp.stack(
+        [latents[:, y : y + th, x : x + tw, :] for y in ys for x in xs]
+    )  # [N, B, th, tw, 4]
+    decoded = jax.lax.map(lambda z: vae_decode(params, z, cfg), tiles)
+
+    f = 2 ** (len(cfg.block_out_channels) - 1)
+    # taper ramps over the actual minimum overlap of each dim (>= `overlap`)
+    ov_h = min([th] + [ys[i] + th - ys[i + 1] for i in range(len(ys) - 1)])
+    ov_w = min([tw] + [xs[i] + tw - xs[i + 1] for i in range(len(xs) - 1)])
+    taper_h = _taper(th * f, max(ov_h // 2, 1) * f)
+    taper_w = _taper(tw * f, max(ov_w // 2, 1) * f)
+    w2 = taper_h[:, None] * taper_w[None, :]  # [TH, TW]
+    canvas = jnp.zeros((b, H * f, W * f, cfg.sample_channels), jnp.float32)
+    wsum = jnp.zeros((H * f, W * f), jnp.float32)
+    for i, (y, x) in enumerate([(y, x) for y in ys for x in xs]):
+        canvas = canvas.at[:, y * f : y * f + th * f, x * f : x * f + tw * f, :].add(
+            decoded[i].astype(jnp.float32) * w2[None, :, :, None]
+        )
+        wsum = wsum.at[y * f : y * f + th * f, x * f : x * f + tw * f].add(w2)
+    return (canvas / wsum[None, :, :, None]).astype(latents.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Random init (tests / synthetic checkpoints)
 # ---------------------------------------------------------------------------

@@ -71,6 +71,7 @@ def self_attention(
     heads: int,
     use_flash: bool = False,
     tp_shard=None,  # (Mesh, data_axis_name, model_axis_name)
+    name_tag: str = "",  # checkpoint_name suffix for the flash residuals
 ) -> jnp.ndarray:
     """Self-attention over image tokens; flash kernel when shapes qualify.
 
@@ -92,7 +93,9 @@ def self_attention(
             local_heads = heads // n_model
 
             def local_attn(ql, kl, vl):
-                return self_attention(ql, kl, vl, local_heads, use_flash=use_flash)
+                return self_attention(
+                    ql, kl, vl, local_heads, use_flash=use_flash, name_tag=name_tag
+                )
 
             return jax.shard_map(
                 local_attn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
@@ -106,7 +109,7 @@ def self_attention(
         from sd_lora_trainer_tpu.ops.flash_attention import flash_attention_qualifies, flash_mha
 
         if flash_attention_qualifies(q.shape, k.shape, heads):
-            return flash_mha(q, k, v, heads)
+            return flash_mha(q, k, v, heads, name_tag=name_tag)
     out, _ = multihead_attention(q, k, v, heads)
     return out
 

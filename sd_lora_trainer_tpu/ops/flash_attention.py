@@ -48,13 +48,81 @@ def flash_attention_qualifies(q_shape, k_shape, heads: int) -> bool:
     return lq % 128 == 0 and lk % 128 == 0 and lq >= 256 and lk >= 256
 
 
-def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
-    """[B, L, D] multihead flash attention via the Pallas TPU kernel."""
+@functools.lru_cache(maxsize=None)
+def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str):
+    """Flash attention as our own custom_vjp with `checkpoint_name`d residuals.
+
+    Under `jax.checkpoint` (full remat), the backward pass re-runs the
+    forward kernel just to regenerate its softmax residuals (o, l, m). The
+    library's custom_vjp hides those residuals, so no remat policy can elect
+    to save them. This wrapper calls the underlying fwd/bwd pallas kernels
+    directly and names the residuals — a `save_only_these_names` /
+    `save_and_offload_only_these_names` policy that saves
+    `flash_out{tag}` + `flash_lse{tag}` elides the forward-kernel recompute
+    entirely (q/k/v rebuild from the cheap projection matmuls). With no
+    naming policy the names are inert and behavior is identical to the
+    library path (numerics pinned by scripts/flash_parity_tpu.py).
+    """
+    from jax.ad_checkpoint import checkpoint_name
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        DEFAULT_MASK_VALUE,
         BlockSizes,
-        flash_attention,
+        _flash_attention,
+        _flash_attention_bwd_dkv,
+        _flash_attention_bwd_dq,
     )
 
+    def sizes():
+        return BlockSizes(
+            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+            block_q_major_dkv=blk_q, block_k_major_dkv=blk_k, block_k_dkv=blk_k,
+            block_q_dkv=blk_q, block_k_major_dq=blk_k, block_k_dq=blk_k,
+            block_q_dq=blk_q,
+        )
+
+    @jax.custom_vjp
+    def f(qh, kh, vh):
+        return _flash_attention(
+            qh, kh, vh, None, None, False, False, sm_scale, sizes(), False
+        )
+
+    def fwd(qh, kh, vh):
+        o, l, m = _flash_attention(
+            qh, kh, vh, None, None, True, False, sm_scale, sizes(), False
+        )
+        o = checkpoint_name(o, f"flash_out{tag}")
+        l = checkpoint_name(l, f"flash_lse{tag}")
+        m = checkpoint_name(m, f"flash_lse{tag}")
+        qh = checkpoint_name(qh, f"flash_qkv{tag}")
+        kh = checkpoint_name(kh, f"flash_qkv{tag}")
+        vh = checkpoint_name(vh, f"flash_qkv{tag}")
+        return o, (qh, kh, vh, o, l, m)
+
+    def bwd(res, do):
+        qh, kh, vh, o, l, m = res
+        di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+        dk, dv = _flash_attention_bwd_dkv(
+            qh, kh, vh, None, None, l, m, do, di,
+            block_q_major=blk_q, block_k_major=blk_k, block_k=blk_k,
+            block_q=blk_q, sm_scale=sm_scale, causal=False,
+            mask_value=DEFAULT_MASK_VALUE, debug=False,
+        )
+        dq, _ = _flash_attention_bwd_dq(
+            qh, kh, vh, None, None, l, m, do, di,
+            block_q_major=blk_q, block_k_major=blk_k, block_k=blk_k,
+            sm_scale=sm_scale, causal=False,
+            mask_value=DEFAULT_MASK_VALUE, debug=False,
+        )
+        return dq, dk, dv
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def flash_mha(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int, name_tag: str = ""
+) -> jnp.ndarray:
+    """[B, L, D] multihead flash attention via the Pallas TPU kernel."""
     b, lq, d = q.shape
     lk = k.shape[1]
     head_dim = d // heads
@@ -82,20 +150,7 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp
     # wash, 256 regressed). Both clamp to the sequence length.
     blk_q = min(512, lq)
     blk_k = min(1024, lk)
-    block_sizes = BlockSizes(
-        block_q=blk_q,
-        block_k_major=blk_k,
-        block_k=blk_k,
-        block_b=1,
-        block_q_major_dkv=blk_q,
-        block_k_major_dkv=blk_k,
-        block_k_dkv=blk_k,
-        block_q_dkv=blk_q,
-        block_k_major_dq=blk_k,
-        block_k_dq=blk_k,
-        block_q_dq=blk_q,
-    )
-    out = flash_attention(qh, kh, vh, causal=False, sm_scale=sm_scale, block_sizes=block_sizes)
+    out = _named_flash(sm_scale, blk_q, blk_k, name_tag)(qh, kh, vh)
     if padded != head_dim:
         out = out[..., :head_dim]
     return out.transpose(0, 2, 1, 3).reshape(b, lq, heads * head_dim)

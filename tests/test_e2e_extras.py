@@ -204,3 +204,19 @@ def test_mesh_sharded_training_run(tiny_env):
         tiny_env, name="meshdp", train_batch_size=8, max_train_steps=2
     )
     assert any(f.endswith("_lora.safetensors") for f in os.listdir(save_dir))
+
+
+def test_bucketed_steps_per_call(tiny_env):
+    """steps_per_call>1 now survives bucketing: each jitted call groups K
+    same-resolution batches (grouped drawing in main.py:draw_bucketed; the
+    buffered sampler preserves the plan's marginal bucket frequencies)."""
+    config, save_dir = _run_train(
+        tiny_env, name="bucketk", aspect_ratio_bucketing=True,
+        max_train_steps=4, steps_per_call=2,
+    )
+    files = os.listdir(save_dir)
+    assert any(f.endswith("_lora.safetensors") for f in files)
+    args = json.load(open(os.path.join(save_dir, "training_args.json")))
+    assert args["aspect_ratio_bucketing"] is True
+    losses = args["training_attributes"]["final_losses"]["img_loss"]
+    assert losses and all(np.isfinite(x) for x in losses)

@@ -5,6 +5,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -73,3 +75,24 @@ def test_old_eval_hyperparam_sweep(tmp_path):
     assert "lora_rank" not in r.stdout.split("Best")[-1]
     plots = os.listdir(tmp_path / "sweep_analysis")
     assert any("unet_lr" in p for p in plots)
+
+
+@pytest.mark.slow
+def test_real_weights_check_synthesized(tmp_path):
+    """The staging rehearsal (scripts/real_weights_check.py) must pass
+    end-to-end against a synthesized checkpoint — STAGING.md §4 points real
+    deployments at this exact command."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "real_weights_check.py"),
+            "--synthesize", "tiny",
+            "--steps", "4",
+            "--out", str(tmp_path),
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "REAL-WEIGHTS CHECK PASSED" in r.stdout
