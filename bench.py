@@ -136,15 +136,10 @@ def main():
         print("[bench] flash attention DISABLED (einsum path)", flush=True, file=sys.stderr)
     remat_mode = os.environ.get("BENCH_REMAT", "auto")
     if remat_mode == "auto":
-        # mirror the product's remat="auto" resolution (main.py): measured
-        # round-4 plans — SD15 <=512px fits without remat (25.4 -> 31.4
-        # imgs/s); SDXL saves the flash kernel residuals (4.26 -> 4.32)
-        remat_mode = (
-            "off" if (model == "sd15" and resolution <= 512 and batch_size <= 16)
-            else "save:flash_out*,flash_lse*"
-        )
-        print(f"[bench] remat auto -> {remat_mode}", flush=True, file=sys.stderr)
-    if remat_mode == "dots":
+        # resolved by StepConfig.from_config (the product's "auto" plan:
+        # sd15@<=512px -> off, else save:flash_out*,flash_lse*)
+        print(f"[bench] remat auto -> {sc.remat}", flush=True, file=sys.stderr)
+    elif remat_mode == "dots":
         sc = dataclasses.replace(sc, remat="dots")
         print("[bench] remat policy: dots_with_no_batch_dims_saveable", flush=True, file=sys.stderr)
     elif remat_mode == "light":
@@ -153,12 +148,18 @@ def main():
     elif remat_mode == "off":
         sc = dataclasses.replace(sc, remat=False)
         print("[bench] remat DISABLED", flush=True, file=sys.stderr)
-    elif remat_mode.startswith(("save:", "offload:")):
+    elif remat_mode == "full":
+        sc = dataclasses.replace(sc, remat=True)
+        print("[bench] remat: full block remat", flush=True, file=sys.stderr)
+    elif remat_mode.startswith(("save:", "offload:", "light+save:")):
         # named-activation remat (models/unet.py): e.g.
         # BENCH_REMAT='save:flash_out*,flash_lse*' keeps the flash kernel's
         # softmax residuals on device, eliding its fwd recompute in backward
         sc = dataclasses.replace(sc, remat=remat_mode)
         print(f"[bench] remat policy: {remat_mode}", flush=True, file=sys.stderr)
+    else:
+        # a silently-misparsed policy would invalidate the measurement
+        raise SystemExit(f"unknown BENCH_REMAT={remat_mode!r}")
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles

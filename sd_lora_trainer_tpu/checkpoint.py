@@ -180,6 +180,14 @@ def restore_train_state(path: str, template_state):
     from sd_lora_trainer_tpu.training.step import TrainState
     from sd_lora_trainer_tpu.utils.safetensors_io import load_safetensors
 
+    if os.path.isdir(path):
+        raise ValueError(
+            f"train state at {path} is a DIRECTORY — the legacy orbax format "
+            "from before the flat-safetensors change (orbax's collective save "
+            "deadlocks rank-0-only multiprocess writes). Restart training "
+            "without resume_from, or restore it with the orbax version of "
+            "this module."
+        )
     tmpl_tree = _as_pytree(template_state)
     treedef = jax.tree_util.tree_structure(tmpl_tree)
     sd = load_safetensors(os.path.abspath(path))

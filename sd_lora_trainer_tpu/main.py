@@ -323,23 +323,9 @@ def train(config: TrainingConfig):
 
     img_ratio = config.train_img_size[0] / config.train_img_size[1]
     sc = StepConfig.from_config(config, img_ratio)
-    if sc.remat == "auto":
-        # Measured round-4 plans (BENCH_NOTES.md): at <=512px SD15's full
-        # activation set fits 16G HBM, so remat is pure recompute waste
-        # (25.4 -> 31.4 imgs/s with it off); SDXL keeps full block remat but
-        # saves the flash kernel's softmax residuals on device, eliding the
-        # fwd-kernel recompute in backward (4.26 -> 4.32 imgs/s @1024px).
-        res = max(config.train_img_size)
-        if (
-            config.sd_model_version == "sd15"
-            and res <= 512
-            and config.train_batch_size <= 16
-        ):
-            auto = False
-        else:
-            auto = "save:flash_out*,flash_lse*"
-        sc = dataclasses.replace(sc, remat=auto)
-        print(f"[remat] auto -> {auto}")
+    if config.remat == "auto":
+        # resolution of the measured-best plan lives in StepConfig.from_config
+        print(f"[remat] auto -> {sc.remat}")
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         import dataclasses as _dc
@@ -544,7 +530,14 @@ def train(config: TrainingConfig):
     pending_draws: List = []
 
     def draw_bucketed(step_res):
-        if step_res is not None:
+        if step_res is None:
+            # group LEADER: consume the oldest buffered draw (any
+            # resolution) before asking the plan — this drains the buffer
+            # every group, so buffered draws are delivered (never evicted)
+            # and the plan's per-image epoch exposure is preserved
+            if pending_draws:
+                return pending_draws.pop(0)
+        else:
             for i, (d, r) in enumerate(pending_draws):
                 if r == step_res:
                     return pending_draws.pop(i)
@@ -785,11 +778,21 @@ def train(config: TrainingConfig):
         # interrupted run left off (device PRNG continues via the restored
         # key: per-step keys are fold_in(state.key, step))
         print(f"[resume] fast-forwarding host data RNG through {resume_step} steps")
-        # replay the SAME grouped drawing pattern the loop uses so the host
-        # RNG/bucket-plan stream lands exactly where the interrupted run was
+        # Replay the SAME grouped drawing pattern the loop uses so the host
+        # RNG/bucket-plan stream lands exactly where the interrupted run was.
+        # Consume EXACTLY resume_step draws: full K-groups while they fit,
+        # singles for any remainder (a state saved by a K=1/debug run resumes
+        # here with a different K — the grid anchors at resume_step below).
+        if steps_per_call > 1 and resume_step % steps_per_call != 0:
+            print(
+                f"[resume] note: resume step {resume_step} is not a multiple "
+                f"of steps_per_call={steps_per_call} (saved by a different-K "
+                "run?) — data-stream replay is exact in draw count, grouped "
+                "where possible"
+            )
         ff = 0
         while ff < resume_step:
-            if steps_per_call > 1:
+            if steps_per_call > 1 and ff + steps_per_call <= resume_step:
                 _, r = assemble_batch()
                 for _ in range(steps_per_call - 1):
                     assemble_batch(r)

@@ -341,6 +341,14 @@ def unet_forward(
         # (the highest-resolution, most conv-expensive ones) save activations
         maybe_remat = jax.checkpoint
         remat_plain = lambda f: f  # noqa: E731
+    elif isinstance(remat, str):
+        # A typo'd policy spec silently running full remat would invalidate
+        # any measurement the operator thinks they made — reject it. "auto"
+        # must be resolved by the caller (main.py / bench.py) before here.
+        raise ValueError(
+            f"unknown remat policy {remat!r}: expected True/False, 'light', "
+            "'dots', 'save:<names>', 'offload:<names>', 'light+save:<names>'"
+        )
     elif remat:
         maybe_remat = jax.checkpoint
         remat_plain = jax.checkpoint

@@ -139,7 +139,7 @@ def vae_decode_batched(
     """
     b, H, W, _ = latents.shape
     if H * W > max_latent_px:
-        return vae_decode_tiled(params, latents, cfg)
+        return vae_decode_tiled(params, latents, cfg, max_latent_px=max_latent_px)
     per = max(int(max_latent_px // (H * W)), 1)
     if per >= b:
         return vae_decode(params, latents, cfg)
@@ -170,6 +170,7 @@ def vae_decode_tiled(
     cfg: VAEConfig = SD15_VAE_CONFIG,
     tile: int = 80,
     overlap: int = 16,
+    max_latent_px: int = 128 * 128,
 ) -> jnp.ndarray:
     """Spatial-tile decode with overlap blending — batch decodes at 1024px+.
 
@@ -186,8 +187,10 @@ def vae_decode_tiled(
     uniform tile stack (static shapes, one compile), and tiles are
     overlap-added with linear ramps, normalized by the accumulated weight.
     Seams differ from the untiled decode only where receptive fields cross
-    tile borders; tests pin the deviation. Tiles fix the activation
-    footprint at B×512px regardless of resolution.
+    tile borders; tests pin the deviation. Each lax.map step decodes at most
+    `max_latent_px` latent pixels — the BATCH is chunked inside the tile
+    stack too, so the activation footprint stays capped regardless of both
+    resolution AND batch size.
     """
     b, H, W, _ = latents.shape
     if H <= tile and W <= tile:
@@ -213,10 +216,27 @@ def vae_decode_tiled(
     tw, xs = plan(W)
     if (th, tw) == (H, W):
         return vae_decode(params, latents, cfg)
+    # chunk the batch so one map step never exceeds the activation budget
+    per = max(min(int(max_latent_px // (th * tw)), b), 1)
+    nchunk = -(-b // per)
+    pad = nchunk * per - b
+    z = latents
+    if pad:
+        z = jnp.concatenate([z, jnp.zeros((pad, H, W, z.shape[-1]), z.dtype)])
     tiles = jnp.stack(
-        [latents[:, y : y + th, x : x + tw, :] for y in ys for x in xs]
-    )  # [N, B, th, tw, 4]
-    decoded = jax.lax.map(lambda z: vae_decode(params, z, cfg), tiles)
+        [
+            z[c * per : (c + 1) * per, y : y + th, x : x + tw, :]
+            for y in ys
+            for x in xs
+            for c in range(nchunk)
+        ]
+    )  # [N * nchunk, per, th, tw, 4]
+    decoded = jax.lax.map(lambda zz: vae_decode(params, zz, cfg), tiles)
+    # regroup chunks back into full-batch tiles [N, b, TH, TW, C]
+    f_up = 2 ** (len(cfg.block_out_channels) - 1)
+    decoded = decoded.reshape(
+        len(ys) * len(xs), nchunk * per, th * f_up, tw * f_up, -1
+    )[:, :b]
 
     f = 2 ** (len(cfg.block_out_channels) - 1)
     # taper ramps over the actual minimum overlap of each dim (>= `overlap`)

@@ -102,6 +102,29 @@ class StepConfig:
 
     @classmethod
     def from_config(cls, config: TrainingConfig, img_ratio: float) -> "StepConfig":
+        remat = config.remat
+        if remat == "auto":
+            # Measured round-4 plans (BENCH_NOTES.md): at <=512px SD15's full
+            # activation set fits 16G HBM, so remat is pure recompute waste
+            # (25.4 -> 31.4 imgs/s with it off); SDXL keeps full block remat
+            # but saves the flash kernel's softmax residuals on device,
+            # eliding the fwd-kernel recompute in backward (4.26 -> 4.32
+            # imgs/s @1024px). Resolved HERE so every consumer (train loop,
+            # bench, dryruns, tests) gets a concrete plan — unet_forward
+            # rejects unresolved strings.
+            sizes = config.train_img_size
+            if not sizes:  # preprocessing hasn't derived it yet (bench/tests)
+                r = config.resolution
+                sizes = r if isinstance(r, (list, tuple)) else (r, r)
+            res = max(sizes)
+            if (
+                config.sd_model_version == "sd15"
+                and res <= 512
+                and config.train_batch_size <= 16
+            ):
+                remat = False
+            else:
+                remat = "save:flash_out*,flash_lse*"
         return cls(
             snr_gamma=config.snr_gamma,
             noise_offset=config.noise_offset,
@@ -115,7 +138,7 @@ class StepConfig:
             train_ti=not config.disable_ti,
             train_te_lora=config.text_encoder_lora_optimizer is not None,
             use_flash=True,
-            remat=config.remat,
+            remat=remat,
             max_train_steps=config.max_train_steps,
             ti_freeze_f=config.freeze_ti_after_completion_f,
             ti_lr=config.ti_lr,
