@@ -29,8 +29,49 @@ os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
+# BENCH_PLATFORM=cpu forces the CPU backend for smoke tests. The env var
+# JAX_PLATFORMS alone is NOT enough here: the session sitecustomize re-pins
+# axon at interpreter start, so the config must be updated before backend init.
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+
+def _init_devices_or_die(timeout_s: int) -> None:
+    """Backend-init watchdog: jax.devices() on the axon tunnel BLOCKS
+    indefinitely when the tunnel is down (no client-side timeout), which
+    would leave the driver with a silent hang instead of a bench record.
+    Init in a daemon thread; on expiry print a diagnostic JSON line (so the
+    round artifact says WHY there is no number) and hard-exit."""
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def init():
+        info["devices"] = jax.devices()
+        done.set()
+
+    threading.Thread(target=init, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(
+            json.dumps(
+                {
+                    "metric": "train_throughput",
+                    "value": None,
+                    "unit": "imgs/sec/chip",
+                    "vs_baseline": None,
+                    "error": f"TPU backend init hung >{timeout_s}s (axon tunnel down)",
+                }
+            ),
+            flush=True,
+        )
+        sys.stderr.write("[bench] FATAL: backend init timed out\n")
+        os._exit(3)
+    sys.stderr.write(f"[bench] devices: {info['devices']}\n")
+
 
 def main():
+    _init_devices_or_die(int(os.environ.get("BENCH_DEVICE_TIMEOUT", "600")))
     model = os.environ.get("BENCH_MODEL", "sdxl")  # sdxl | sd15
     # bs=8 is the measured best for both models on one v5e chip
     # (BENCH_NOTES.md): sdxl@1024 3.79 imgs/s (bs16 OOMs), sd15@512 21.9
