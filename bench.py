@@ -201,6 +201,12 @@ def main():
     else:
         # a silently-misparsed policy would invalidate the measurement
         raise SystemExit(f"unknown BENCH_REMAT={remat_mode!r}")
+    stash8 = os.environ.get("BENCH_STASH8", "")
+    if stash8:
+        # e.g. BENCH_STASH8='flash_out*,attn_out_c1280' — those names' remat
+        # stash is row-wise int8 (ops/stash8.py); the save: plan must list them
+        sc = dataclasses.replace(sc, stash8=stash8)
+        print(f"[bench] stash8: {stash8}", flush=True, file=sys.stderr)
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),  # strong-typed: weak_type flips cause silent recompiles

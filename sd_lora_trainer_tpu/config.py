@@ -173,6 +173,12 @@ class TrainingConfig(BaseModel):
     # full/no remat; "light", "dots", "save:<names>", "offload:<names>" select
     # explicit policies (models/unet.py:unet_forward).
     remat: Union[bool, str] = "auto"
+    # Comma list of checkpoint names (same grammar as the save:/offload:
+    # specs, '*' expands per level) whose remat stash is quantized to
+    # row-wise int8 — halves those names' HBM cost under a "save:" plan at
+    # a bounded activation-precision cost (ops/stash8.py). Requires a
+    # "save:"-family remat plan that lists the same names. Off by default.
+    remat_stash8: str = ""
     # Fuse attn1 q/k/v (and attn2 k/v) base kernels into single matmuls for
     # the jitted step's frozen copy (models/fuse.py). Numerics identical
     # (tests/test_fused_qkv.py); auto-disabled with DoRA (needs per-projection

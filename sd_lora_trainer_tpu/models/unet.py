@@ -134,6 +134,18 @@ def _resnet(p: dict, x: jnp.ndarray, temb: jnp.ndarray, groups: int) -> jnp.ndar
     return x + h
 
 
+def _tag(x: jnp.ndarray, name: str, stash8_names=frozenset()) -> jnp.ndarray:
+    """checkpoint_name the activation — as a row-wise int8 stash (half the
+    HBM under a `save:` policy) when the name is in the stash8 set."""
+    if name in stash8_names:
+        from sd_lora_trainer_tpu.ops.stash8 import stash8
+
+        return stash8(x, name)
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, name)
+
+
 def _transformer_block(
     p: dict,
     x: jnp.ndarray,  # [B, L, C]
@@ -142,8 +154,9 @@ def _transformer_block(
     capture: bool,
     use_flash: bool,
     flash_tp=None,
+    stash8_names=frozenset(),
 ):
-    from jax.ad_checkpoint import checkpoint_name
+    from jax.ad_checkpoint import checkpoint_name  # noqa: F401  (via _tag)
 
     # checkpoint_name tags: inert without a naming remat policy; a
     # "save:..."/"offload:..." remat mode (unet_forward) uses them to keep
@@ -168,9 +181,10 @@ def _transformer_block(
         k = dense(a1["to_k"], h)
         v = dense(a1["to_v"], h)
     attn = self_attention(
-        q, k, v, heads, use_flash=use_flash, tp_shard=flash_tp, name_tag=tag
+        q, k, v, heads, use_flash=use_flash, tp_shard=flash_tp, name_tag=tag,
+        stash8_out=(f"flash_out{tag}" in stash8_names),
     )
-    attn = checkpoint_name(attn, f"attn_out{tag}")
+    attn = _tag(attn, f"attn_out{tag}", stash8_names)
     x = x + dense(a1["to_out.0"], attn)
 
     # cross-attention (+ optional DAAM score capture)
@@ -187,7 +201,7 @@ def _transformer_block(
         k = dense(a2["to_k"], ctx)
         v = dense(a2["to_v"], ctx)
     attn, scores = multihead_attention(q, k, v, heads, capture_scores=capture)
-    attn = checkpoint_name(attn, f"attn_out{tag}")
+    attn = _tag(attn, f"attn_out{tag}", stash8_names)
     x = x + dense(a2["to_out.0"], attn)
 
     # GEGLU feed-forward
@@ -204,10 +218,10 @@ def _transformer_block(
         if bias.ndim == 1:
             bias = bias.reshape(2, -1)
         h2 = h2 + bias.astype(h.dtype)
-        h2 = checkpoint_name(h2, f"ff_hidden{tag}")
+        h2 = _tag(h2, f"ff_hidden{tag}", stash8_names)
         a, b = h2[..., 0, :], h2[..., 1, :]
     else:
-        h2 = checkpoint_name(dense(p["ff.net.0.proj"], h), f"ff_hidden{tag}")
+        h2 = _tag(dense(p["ff.net.0.proj"], h), f"ff_hidden{tag}", stash8_names)
         a, b = jnp.split(h2, 2, axis=-1)
     x = x + dense(p["ff.net.2"], a * gelu(b))
     return x, scores
@@ -223,6 +237,7 @@ def _spatial_transformer(
     capture: bool,
     use_flash: bool,
     flash_tp=None,
+    stash8_names=frozenset(),
 ):
     """Transformer2DModel: GN -> proj_in -> blocks -> proj_out -> residual."""
     b, hh, ww, c = x.shape
@@ -236,7 +251,9 @@ def _spatial_transformer(
         h = conv2d(p["proj_in"], h, padding="VALID")
         h = h.reshape(b, hh * ww, c)
     for i, bp in enumerate(p["transformer_blocks"]):
-        h, scores = _transformer_block(bp, h, ctx, heads, capture, use_flash, flash_tp)
+        h, scores = _transformer_block(
+            bp, h, ctx, heads, capture, use_flash, flash_tp, stash8_names
+        )
         if scores is not None:
             scores_out[f"{name}.transformer_blocks.{i}.attn2"] = scores
     if cfg.use_linear_projection:
@@ -260,15 +277,10 @@ def _named_policy_remat(spec: str, cfg: "UNetConfig"):
     Names come from _transformer_block / flash_attention._named_flash; a
     trailing '*' expands over the per-level channel suffixes, e.g.
     "save:flash_out*,flash_lse*"."""
+    from sd_lora_trainer_tpu.ops.stash8 import expand_names
+
     kind, _, raw = spec.partition(":")
-    channels = sorted(set(cfg.block_out_channels))
-    names = []
-    for n in raw.split(","):
-        n = n.strip()
-        if n.endswith("*"):
-            names += [n[:-1] + f"_c{c}" for c in channels]
-        elif n:
-            names.append(n)
+    names = expand_names(raw, cfg.block_out_channels)
     if kind == "save":
         policy = jax.checkpoint_policies.save_only_these_names(*names)
     else:
@@ -292,6 +304,7 @@ def unet_forward(
     use_flash: bool = True,
     remat: bool = True,
     flash_tp=None,  # (Mesh, data_axis, model_axis): flash via shard_map under TP
+    stash8: str = "",  # comma list of checkpoint names to stash as int8 (ops/stash8.py)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Predict noise. Returns (eps_pred [B,H,W,4], attn_scores dict).
 
@@ -302,6 +315,20 @@ def unet_forward(
     """
     ctx = encoder_hidden_states
     groups = cfg.norm_num_groups
+
+    if stash8:
+        from sd_lora_trainer_tpu.ops.stash8 import expand_names
+
+        if not (isinstance(remat, str) and "save:" in remat):
+            # quantizing without a policy that saves the stash is pure
+            # quality loss (the int8 pair would be recomputed, not kept)
+            raise ValueError(
+                f"stash8={stash8!r} requires a 'save:'-family remat plan "
+                f"whose names include the stashed ones, got remat={remat!r}"
+            )
+        stash8_names = frozenset(expand_names(stash8, cfg.block_out_channels))
+    else:
+        stash8_names = frozenset()
 
     # --- time (+ SDXL text_time) embedding, fp32 ---
     t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
@@ -379,7 +406,7 @@ def unet_forward(
                 if has_attn:
                     x, scores = _spatial_transformer(
                         layer_params["attention"], x, ctx, cfg, cfg.num_heads[i],
-                        name, capture_attn, use_flash, flash_tp,
+                        name, capture_attn, use_flash, flash_tp, stash8_names,
                     )
                 return x, scores
 
@@ -408,6 +435,7 @@ def unet_forward(
                 False,  # the reference's DAAM probe skips the mid block
                 use_flash,
                 flash_tp,
+                stash8_names,
             )
         x = _resnet(mid["resnets"][1], x, temb, groups)
         return x, scores
@@ -436,7 +464,7 @@ def unet_forward(
                 if has_attn:
                     x, scores = _spatial_transformer(
                         layer_params["attention"], x, ctx, cfg, cfg.num_heads[level],
-                        name, capture_attn, use_flash, flash_tp,
+                        name, capture_attn, use_flash, flash_tp, stash8_names,
                     )
                 return x, scores
 

@@ -72,6 +72,7 @@ def self_attention(
     use_flash: bool = False,
     tp_shard=None,  # (Mesh, data_axis_name, model_axis_name)
     name_tag: str = "",  # checkpoint_name suffix for the flash residuals
+    stash8_out: bool = False,  # stash the flash output residual as int8
 ) -> jnp.ndarray:
     """Self-attention over image tokens; flash kernel when shapes qualify.
 
@@ -94,7 +95,8 @@ def self_attention(
 
             def local_attn(ql, kl, vl):
                 return self_attention(
-                    ql, kl, vl, local_heads, use_flash=use_flash, name_tag=name_tag
+                    ql, kl, vl, local_heads, use_flash=use_flash,
+                    name_tag=name_tag, stash8_out=stash8_out,
                 )
 
             return jax.shard_map(
@@ -109,7 +111,7 @@ def self_attention(
         from sd_lora_trainer_tpu.ops.flash_attention import flash_attention_qualifies, flash_mha
 
         if flash_attention_qualifies(q.shape, k.shape, heads):
-            return flash_mha(q, k, v, heads, name_tag=name_tag)
+            return flash_mha(q, k, v, heads, name_tag=name_tag, stash8_out=stash8_out)
     out, _ = multihead_attention(q, k, v, heads)
     return out
 

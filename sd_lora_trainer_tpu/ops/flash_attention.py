@@ -49,7 +49,7 @@ def flash_attention_qualifies(q_shape, k_shape, heads: int) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str):
+def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str, stash8_out: bool = False):
     """Flash attention as our own custom_vjp with `checkpoint_name`d residuals.
 
     Under `jax.checkpoint` (full remat), the backward pass re-runs the
@@ -90,7 +90,22 @@ def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str):
         o, l, m = _flash_attention(
             qh, kh, vh, None, None, True, False, sm_scale, sizes(), False
         )
-        o = checkpoint_name(o, f"flash_out{tag}")
+        if stash8_out:
+            # int8 stash of the output residual (ops/stash8.py): halves the
+            # HBM the save-policy keeps. The dequantized o~ is BOTH the
+            # primal output and the backward residual, so fwd/bwd stay
+            # consistent — the quantizer is the only approximation.
+            from sd_lora_trainer_tpu.ops.stash8 import (
+                dequantize_rowwise,
+                quantize_rowwise,
+            )
+
+            qo, so = quantize_rowwise(o)
+            qo = checkpoint_name(qo, f"flash_out{tag}")
+            so = checkpoint_name(so, f"flash_out{tag}")
+            o = dequantize_rowwise(qo, so, o.dtype)
+        else:
+            o = checkpoint_name(o, f"flash_out{tag}")
         l = checkpoint_name(l, f"flash_lse{tag}")
         m = checkpoint_name(m, f"flash_lse{tag}")
         qh = checkpoint_name(qh, f"flash_qkv{tag}")
@@ -120,7 +135,12 @@ def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str):
 
 
 def flash_mha(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int, name_tag: str = ""
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    name_tag: str = "",
+    stash8_out: bool = False,
 ) -> jnp.ndarray:
     """[B, L, D] multihead flash attention via the Pallas TPU kernel."""
     b, lq, d = q.shape
@@ -150,7 +170,7 @@ def flash_mha(
     # wash, 256 regressed). Both clamp to the sequence length.
     blk_q = min(512, lq)
     blk_k = min(1024, lk)
-    out = _named_flash(sm_scale, blk_q, blk_k, name_tag)(qh, kh, vh)
+    out = _named_flash(sm_scale, blk_q, blk_k, name_tag, stash8_out)(qh, kh, vh)
     if padded != head_dim:
         out = out[..., :head_dim]
     return out.transpose(0, 2, 1, 3).reshape(b, lq, heads * head_dim)

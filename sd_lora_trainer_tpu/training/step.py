@@ -99,6 +99,8 @@ class StepConfig:
     # attention via shard_map over the head axis (ops/attention.py:tp_shard).
     # Hashable (Mesh is), so it can live in this static config.
     flash_tp: object = None
+    # Names whose remat stash is row-wise int8 (ops/stash8.py); "" = none.
+    stash8: str = ""
 
     @classmethod
     def from_config(cls, config: TrainingConfig, img_ratio: float) -> "StepConfig":
@@ -139,6 +141,7 @@ class StepConfig:
             train_te_lora=config.text_encoder_lora_optimizer is not None,
             use_flash=True,
             remat=remat,
+            stash8=config.remat_stash8,
             max_train_steps=config.max_train_steps,
             ti_freeze_f=config.freeze_ti_after_completion_f,
             ti_lr=config.ti_lr,
@@ -232,6 +235,7 @@ def compute_loss(
         use_flash=sc.use_flash,
         remat=sc.remat,
         flash_tp=sc.flash_tp,
+        stash8=sc.stash8,
     )
 
     mask = batch["mask"]
