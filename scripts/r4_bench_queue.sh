@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-4 TPU measurement queue — run once the axon tunnel is back.
+# Serialized bench runs (one chip); each line logs the plan + the JSON result.
+# Usage: bash scripts/r4_bench_queue.sh [logfile]
+set -u
+LOG="${1:-/tmp/r4_queue.log}"
+cd "$(dirname "$0")/.."
+
+run() {
+  local label="$1"; shift
+  echo "=== $label ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+  # env pairs come as VAR=VAL args before the marker '--'
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  env "${envs[@]}" timeout 2400 python bench.py 2>>"$LOG" | tee -a "$LOG"
+  echo "" | tee -a "$LOG"
+}
+
+# 0. sanity: current default plan (cache warm from r4 runs) — expect ~4.32
+run "sdxl default (save:flash)" BENCH_MODEL=sdxl --
+
+# 1. the INVALID earlier measurement, redone: light + save flash residuals.
+#    light saves all plain-resnet activations; if it fits, it elides BOTH the
+#    conv recompute and the flash fwd recompute.
+run "sdxl light+save:flash" BENCH_REMAT='light+save:flash_out*,flash_lse*' --
+
+# 2. stash8 on the flash residual: frees ~0.8 GB vs the default plan.
+run "sdxl save:flash + stash8 flash_out" \
+  BENCH_REMAT='save:flash_out*,flash_lse*' BENCH_STASH8='flash_out*' --
+
+# 3. spend the freed ~0.8 GB on the 1280-level attention outputs (int8:
+#    ~0.53 GB where bf16 needed 1.05 and OOM'd).
+run "sdxl save:flash,attn1280 + stash8 both" \
+  BENCH_REMAT='save:flash_out*,flash_lse*,attn_out_c1280' \
+  BENCH_STASH8='flash_out*,attn_out_c1280' --
+
+# 4. all attn_out levels int8 (c320 level has no attention in SDXL; c640
+#    adds [8,4096,640]-sized stashes)
+run "sdxl save:flash,attn* + stash8" \
+  BENCH_REMAT='save:flash_out*,flash_lse*,attn_out*' \
+  BENCH_STASH8='flash_out*,attn_out*' --
+
+# 5. light + int8 flash stash (if #1 OOMs, the int8 variant may fit)
+run "sdxl light+save:flash + stash8" \
+  BENCH_REMAT='light+save:flash_out*,flash_lse*' BENCH_STASH8='flash_out*' --
+
+# 6. SD15 flash block sweeps at its head dims (d=40 L=4096, d=80 L=1024)
+echo "=== sd15 block sweep d=40 ===" | tee -a "$LOG"
+SWEEP_B=8 SWEEP_L=4096 SWEEP_H=8 SWEEP_D=40 timeout 2400 python scripts/flash_block_sweep.py 2>&1 | tee -a "$LOG"
+echo "=== sd15 block sweep d=80 ===" | tee -a "$LOG"
+SWEEP_B=8 SWEEP_L=1024 SWEEP_H=8 SWEEP_D=80 timeout 2400 python scripts/flash_block_sweep.py 2>&1 | tee -a "$LOG"
+
+# 7. sd15 remat-off baseline refresh (expect ~31.4)
+run "sd15 default (remat auto->off)" BENCH_MODEL=sd15 --
+
+echo "QUEUE DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"
