@@ -232,22 +232,76 @@ def main():
         step_fn = jax.jit(core_step, donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
-    ids = np.full((1, batch_size, 77), 49407, np.int32)
-    ids[..., 0] = 49406
-    ids[..., 1:10] = rng.randint(320, 49000, size=(1, batch_size, 9))
-    ids[..., 3:6] = [49408, 49409, 49410]
-    batch = {
-        "latent_mean": jnp.asarray(rng.randn(1, batch_size, latent, latent, 4), jnp.bfloat16),
-        "latent_logvar": jnp.full((1, batch_size, latent, latent, 4), -6.0, jnp.bfloat16),
-        "mask": jnp.ones((1, batch_size, latent, latent, 1), jnp.bfloat16),
-        "input_ids": jnp.asarray(ids),
-        "input_ids_2": jnp.asarray(ids),
-        "caption_token_lengths": jnp.full((1, batch_size), 12, jnp.int32),
-        "ti_token_positions": jnp.tile(jnp.asarray([[3, 4, 5]]), (1, batch_size, 1)),
-        "latent_scale": jnp.float32(0.13025),
-    }
-    if scan_k > 1:
-        batch = jax.tree.map(lambda x: jnp.stack([x] * scan_k), batch)
+
+    def make_batch(lat_h, lat_w):
+        ids = np.full((1, batch_size, 77), 49407, np.int32)
+        ids[..., 0] = 49406
+        ids[..., 1:10] = rng.randint(320, 49000, size=(1, batch_size, 9))
+        ids[..., 3:6] = [49408, 49409, 49410]
+        b = {
+            "latent_mean": jnp.asarray(
+                rng.randn(1, batch_size, lat_h, lat_w, 4), jnp.bfloat16
+            ),
+            "latent_logvar": jnp.full((1, batch_size, lat_h, lat_w, 4), -6.0, jnp.bfloat16),
+            "mask": jnp.ones((1, batch_size, lat_h, lat_w, 1), jnp.bfloat16),
+            "input_ids": jnp.asarray(ids),
+            "input_ids_2": jnp.asarray(ids),
+            "caption_token_lengths": jnp.full((1, batch_size), 12, jnp.int32),
+            "ti_token_positions": jnp.tile(jnp.asarray([[3, 4, 5]]), (1, batch_size, 1)),
+            "latent_scale": jnp.float32(0.13025),
+        }
+        if scan_k > 1:
+            b = jax.tree.map(lambda x: jnp.stack([x] * scan_k), b)
+        return b
+
+    # BENCH_BUCKETS='1024x1024,832x1216': aspect-ratio-bucketed throughput —
+    # one compiled K-scan program per bucket shape, calls alternating
+    # round-robin, exactly the product's grouped bucketed loop
+    # (main.py:draw_bucketed). The datapoint that certifies the scan win
+    # survives multi-resolution configs. Skips MFU (per-shape FLOPs differ).
+    buckets_env = os.environ.get("BENCH_BUCKETS", "")
+    if buckets_env:
+        sizes = [tuple(int(v) for v in s.split("x")) for s in buckets_env.split(",")]
+        step_fns, batches = [], []
+        for (h, w) in sizes:
+            sc_b = dataclasses.replace(sc, daam_img_ratio=h / w)
+            core_b = make_train_step(sc_b, optimizer)
+            if scan_k > 1:
+                def multi_b(state, bt, frozen, _core=core_b):
+                    return jax.lax.scan(lambda st, b: _core(st, b, frozen), state, bt)
+
+                step_fns.append(jax.jit(multi_b, donate_argnums=(0,)))
+            else:
+                step_fns.append(jax.jit(core_b, donate_argnums=(0,)))
+            batches.append(make_batch(h // 8, w // 8))
+        print(f"[bench] bucketed: {sizes}, K={scan_k}", flush=True, file=sys.stderr)
+        for f, b, s in zip(step_fns, batches, sizes):  # compile + warmup each
+            t0 = time.time()
+            state, metrics = f(state, b, frozen)
+            jax.block_until_ready(metrics["tot_loss"])
+            print(f"[bench] bucket {s} compile+step {time.time()-t0:.1f}s",
+                  flush=True, file=sys.stderr)
+        n_calls = max(n_steps // scan_k, 2)
+        t0 = time.time()
+        for i in range(n_calls):
+            state, metrics = step_fns[i % len(sizes)](state, batches[i % len(sizes)], frozen)
+        loss = float(jnp.ravel(metrics["tot_loss"])[-1])  # host fetch = sync
+        dt = time.time() - t0
+        total = n_calls * scan_k
+        imgs_per_sec = batch_size * total / dt
+        mean_px = sum(h * w for h, w in sizes) / len(sizes)
+        anchor = 6.0 * (512.0**2 / mean_px)
+        print(f"[bench] {total} bucketed steps in {dt:.2f}s (loss={loss:.4f})",
+              flush=True, file=sys.stderr)
+        print(json.dumps({
+            "metric": "train_throughput_bucketed",
+            "value": round(imgs_per_sec, 3),
+            "unit": "imgs/sec/chip",
+            "vs_baseline": round(imgs_per_sec / anchor, 3),
+        }), flush=True)
+        return
+
+    batch = make_batch(latent, latent)
 
     # Program FLOPs for MFU: lower+compile AOT (shares the persistent cache
     # with the jit call below) and read XLA's cost analysis. Runs BEFORE the

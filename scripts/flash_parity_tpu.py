@@ -41,6 +41,10 @@ def main():
         (2, 16384, 5, 64),  # SDXL C=320 @128x128 latent — native dh<=128
         (2, 4096, 10, 64),  # SDXL C=640
         (2, 1024, 20, 64),  # SDXL C=1280
+        # ragged aspect-ratio-bucket lengths: padded + segment-masked path
+        (2, 3952, 10, 64),  # SDXL C=640 @ 832x1216 bucket (pads to 4096)
+        (2, 4032, 8, 40),   # SD15 C=320 @ 448x576 bucket (pads + lane pad)
+        (2, 988, 20, 64),   # SDXL C=1280 @ 832x1216 bucket (pads to 1024)
     ]
     failures = []
     for b, l, h, dh in cases:

@@ -54,4 +54,14 @@ SWEEP_B=8 SWEEP_L=1024 SWEEP_H=8 SWEEP_D=80 timeout 2400 python scripts/flash_bl
 # 7. sd15 remat-off baseline refresh (expect ~31.4)
 run "sd15 default (remat auto->off)" BENCH_MODEL=sd15 --
 
+# 8. on-chip flash parity incl. the ragged bucket lengths (padded+segment path)
+echo "=== flash parity (incl. ragged) ===" | tee -a "$LOG"
+timeout 2400 python scripts/flash_parity_tpu.py 2>&1 | tail -12 | tee -a "$LOG"
+
+# 9. bucketed throughput (VERDICT r3 item 3 datapoint): grouped K=4 vs K=1
+#    at the reference's real multi-resolution shapes; 832x1216 also exercises
+#    the padded segment-masked flash inside the full train step.
+run "sdxl bucketed K=4" BENCH_BUCKETS='1024x1024,832x1216,1216x832' BENCH_SCAN=4 --
+run "sdxl bucketed K=1" BENCH_BUCKETS='1024x1024,832x1216,1216x832' BENCH_SCAN=1 --
+
 echo "QUEUE DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"

@@ -44,12 +44,48 @@ def flash_attention_qualifies(q_shape, k_shape, heads: int) -> bool:
     head_dim = d // heads
     if head_dim > 256:
         return False
-    # both sequence dims must tile at >= 128
+    if lq == lk:
+        # self-attention: ANY length >= 256 qualifies — non-128-multiple
+        # lengths (most aspect-ratio bucket shapes, e.g. 832x1216 -> 3952
+        # tokens) are zero-padded to a tile-able length with segment-id
+        # masking (flash_mha), instead of falling back to einsum whose
+        # [B,h,L,L] logits are GBs at those L.
+        return lq >= 256
+    # cross-shaped (unused today): both sequence dims must tile at >= 128
     return lq % 128 == 0 and lk % 128 == 0 and lq >= 256 and lk >= 256
 
 
+def _pad_plan(l: int):
+    """(padded_len, block_q, block_k) for a self-attention length l.
+
+    The kernel needs block sizes that divide the sequence length. 128-multiple
+    lengths keep the measured-best 512/1024 blocks (which always divide the
+    padded lengths chosen here); ragged lengths pad to the next multiple of
+    1024 above 512 (so 512 | lp and 1024 | lp), or of 128 below (blocks = lp).
+    Pad overhead is bounded by 1024/l (<= 3.6% at SDXL bucket shapes).
+    """
+    if l % 128 == 0:
+        lp = l
+    else:
+        lp = _round_up(l, 1024 if l > 512 else 128)
+    blk_q = min(512, lp)
+    blk_k = min(1024, lp)
+    if lp % blk_q:
+        blk_q = 128  # always divides (lp is a multiple of 128)
+    if lp % blk_k:
+        blk_k = 128
+    return lp, blk_q, blk_k
+
+
 @functools.lru_cache(maxsize=None)
-def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str, stash8_out: bool = False):
+def _named_flash(
+    sm_scale: float,
+    blk_q: int,
+    blk_k: int,
+    tag: str,
+    stash8_out: bool = False,
+    valid_len: int = 0,
+):
     """Flash attention as our own custom_vjp with `checkpoint_name`d residuals.
 
     Under `jax.checkpoint` (full remat), the backward pass re-runs the
@@ -67,10 +103,25 @@ def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str, stash8_out: 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         DEFAULT_MASK_VALUE,
         BlockSizes,
+        SegmentIds,
         _flash_attention,
         _flash_attention_bwd_dkv,
         _flash_attention_bwd_dq,
     )
+
+    def seg_ids(qh):
+        """valid_len > 0: the sequence was padded (aspect-ratio bucket shape).
+        Valid tokens share id 1; padded tokens share id 0, so padded q rows
+        attend to >= 1 (padded) key — a well-defined softmax, no NaN rows —
+        while never mixing with real tokens. The padded rows' garbage output
+        is sliced off by the caller; their cotangent is zero, so dk/dv get no
+        contribution from them."""
+        if valid_len == 0:
+            return None
+        b, _, lp, _ = qh.shape
+        ids = (jnp.arange(lp) < valid_len).astype(jnp.int32)
+        ids = jnp.broadcast_to(ids[None], (b, lp))
+        return SegmentIds(q=ids, kv=ids)
 
     def sizes():
         return BlockSizes(
@@ -83,12 +134,12 @@ def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str, stash8_out: 
     @jax.custom_vjp
     def f(qh, kh, vh):
         return _flash_attention(
-            qh, kh, vh, None, None, False, False, sm_scale, sizes(), False
+            qh, kh, vh, None, seg_ids(qh), False, False, sm_scale, sizes(), False
         )
 
     def fwd(qh, kh, vh):
         o, l, m = _flash_attention(
-            qh, kh, vh, None, None, True, False, sm_scale, sizes(), False
+            qh, kh, vh, None, seg_ids(qh), True, False, sm_scale, sizes(), False
         )
         if stash8_out:
             # int8 stash of the output residual (ops/stash8.py): halves the
@@ -115,15 +166,16 @@ def _named_flash(sm_scale: float, blk_q: int, blk_k: int, tag: str, stash8_out: 
 
     def bwd(res, do):
         qh, kh, vh, o, l, m = res
+        seg = seg_ids(qh)
         di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
         dk, dv = _flash_attention_bwd_dkv(
-            qh, kh, vh, None, None, l, m, do, di,
+            qh, kh, vh, None, seg, l, m, do, di,
             block_q_major=blk_q, block_k_major=blk_k, block_k=blk_k,
             block_q=blk_q, sm_scale=sm_scale, causal=False,
             mask_value=DEFAULT_MASK_VALUE, debug=False,
         )
         dq, _ = _flash_attention_bwd_dq(
-            qh, kh, vh, None, None, l, m, do, di,
+            qh, kh, vh, None, seg, l, m, do, di,
             block_q_major=blk_q, block_k_major=blk_k, block_k=blk_k,
             sm_scale=sm_scale, causal=False,
             mask_value=DEFAULT_MASK_VALUE, debug=False,
@@ -165,12 +217,26 @@ def flash_mha(
         pad = [(0, 0), (0, 0), (0, 0), (0, padded - head_dim)]
         qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
 
-    # Measured on v5e at [8,10,4096,64] fwd+grad: block_k=1024 beats 512 by
-    # ~13% (fewer KV re-reads per q block); block_q stays 512 (2048 was a
-    # wash, 256 regressed). Both clamp to the sequence length.
-    blk_q = min(512, lq)
-    blk_k = min(1024, lk)
-    out = _named_flash(sm_scale, blk_q, blk_k, name_tag, stash8_out)(qh, kh, vh)
+    # Sequence padding for aspect-ratio bucket shapes (self-attention,
+    # lq == lk): pad to a tile-able length and mask the pad tokens via
+    # segment ids inside the kernel (_named_flash.seg_ids). <= 3.6% extra
+    # FLOPs at SDXL bucket shapes vs an einsum fallback whose [B,h,L,L]
+    # logits are GBs. The pad rows' outputs are sliced off below; their
+    # zero cotangent keeps dk/dv exact.
+    if lq == lk:
+        lp, blk_q, blk_k = _pad_plan(lq)
+        valid = lq if lp != lq else 0
+        if valid:
+            spad = [(0, 0), (0, 0), (0, lp - lq), (0, 0)]
+            qh, kh, vh = jnp.pad(qh, spad), jnp.pad(kh, spad), jnp.pad(vh, spad)
+    else:
+        # Measured on v5e at [8,10,4096,64] fwd+grad: block_k=1024 beats 512
+        # by ~13% (fewer KV re-reads per q block); block_q stays 512 (2048
+        # was a wash, 256 regressed). Both clamp to the sequence length.
+        blk_q, blk_k, valid = min(512, lq), min(1024, lk), 0
+    out = _named_flash(sm_scale, blk_q, blk_k, name_tag, stash8_out, valid)(qh, kh, vh)
+    if valid:
+        out = out[:, :, :lq]
     if padded != head_dim:
         out = out[..., :head_dim]
     return out.transpose(0, 2, 1, 3).reshape(b, lq, heads * head_dim)
