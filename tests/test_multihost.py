@@ -73,6 +73,9 @@ def _config(tiny_env, out_dir, **overrides):
         skip_gpt_cleanup=True,
         augment_imgs_up_to_n=0,
         steps_per_call=1,
+        # the r3 advisor's deadlock scenario: rank-0-only writes while the
+        # state gather is a collective — a hang here fails the Popen timeout
+        save_train_state=True,
         output_dir=str(out_dir),
     )
     cfg.update(overrides)
@@ -149,3 +152,14 @@ def test_two_process_step_matches_single_process(tiny_env):
     assert sp.keys() == mp.keys()
     for k in sp:
         np.testing.assert_allclose(sp[k], mp[k], rtol=0, atol=1e-6, err_msg=k)
+
+    # the resumable train state must exist in BOTH topologies (rank 0 wrote
+    # it after the all-rank gather; no barrier deadlocked)
+    for runs in (root / "runs_sp", root / "runs_mp"):
+        found = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(runs)
+            for f in fs
+            if f == "train_state"
+        ]
+        assert found, f"no train_state artifact under {runs}"
