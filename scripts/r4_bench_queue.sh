@@ -29,17 +29,18 @@ run "sdxl light+save:flash" BENCH_REMAT='light+save:flash_out*,flash_lse*' --
 run "sdxl save:flash + stash8 flash_out" \
   BENCH_REMAT='save:flash_out*,flash_lse*' BENCH_STASH8='flash_out*' --
 
-# 3. spend the freed ~0.8 GB on the 1280-level attention outputs (int8:
-#    ~0.53 GB where bf16 needed 1.05 and OOM'd).
-run "sdxl save:flash,attn1280 + stash8 both" \
-  BENCH_REMAT='save:flash_out*,flash_lse*,attn_out_c1280' \
-  BENCH_STASH8='flash_out*,attn_out_c1280' --
+# 3. spend the freed ~0.8 GB on the 1280-level CROSS-attention outputs
+#    (xattn_out: the self-attention outputs are already the saved flash_out
+#    bytes; int8 halves the cost that OOM'd in bf16).
+run "sdxl save:flash,xattn1280 + stash8 both" \
+  BENCH_REMAT='save:flash_out*,flash_lse*,xattn_out_c1280' \
+  BENCH_STASH8='flash_out*,xattn_out_c1280' --
 
-# 4. all attn_out levels int8 (c320 level has no attention in SDXL; c640
-#    adds [8,4096,640]-sized stashes)
-run "sdxl save:flash,attn* + stash8" \
-  BENCH_REMAT='save:flash_out*,flash_lse*,attn_out*' \
-  BENCH_STASH8='flash_out*,attn_out*' --
+# 4. cross-attention outputs at every level, all int8 (~0.84 GB total;
+#    ff_hidden is out of reach even in int8: 60 blocks x 84 MB at c1280)
+run "sdxl save:flash,xattn* + stash8" \
+  BENCH_REMAT='save:flash_out*,flash_lse*,xattn_out*' \
+  BENCH_STASH8='flash_out*,xattn_out*' --
 
 # 5. light + int8 flash stash (if #1 OOMs, the int8 variant may fit)
 run "sdxl light+save:flash + stash8" \

@@ -30,6 +30,16 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor the caller's JAX_PLATFORMS choice: the session sitecustomize's
+# axon register() overrides the platform AFTER jax reads the env, so
+# `JAX_PLATFORMS=cpu python scripts/real_weights_check.py` would silently
+# target the TPU tunnel (and hang forever when the tunnel is down) without
+# this re-apply — the same trap tests/conftest.py guards against.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 

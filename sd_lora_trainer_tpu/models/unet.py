@@ -201,7 +201,10 @@ def _transformer_block(
         k = dense(a2["to_k"], ctx)
         v = dense(a2["to_v"], ctx)
     attn, scores = multihead_attention(q, k, v, heads, capture_scores=capture)
-    attn = _tag(attn, f"attn_out{tag}", stash8_names)
+    # distinct tag: the SELF-attention attn_out duplicates flash_out bytes
+    # (same tensor reshaped), so plans that already save flash residuals can
+    # target the non-redundant cross-attention outputs alone
+    attn = _tag(attn, f"xattn_out{tag}", stash8_names)
     x = x + dense(a2["to_out.0"], attn)
 
     # GEGLU feed-forward

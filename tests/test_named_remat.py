@@ -98,7 +98,12 @@ def _tiny_setup():
 
 @pytest.mark.parametrize(
     "mode",
-    ["save:ff_hidden*", "save:attn_out*,ff_hidden*", "light+save:attn_out*"],
+    [
+        "save:ff_hidden*",
+        "save:attn_out*,ff_hidden*",
+        "light+save:attn_out*",
+        "save:xattn_out*",  # cross-attention outputs (distinct from self)
+    ],
 )
 def test_named_save_matches_full_remat(mode):
     cfg, params, lat, t, ctx, added = _tiny_setup()

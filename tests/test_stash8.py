@@ -66,10 +66,13 @@ def test_stash8_grads_close_to_bf16_save():
     """Same save plan with/without the int8 stash: grads must agree to the
     quantization-noise level (the ONLY difference is the stash precision)."""
     cfg, params, lat, t, ctx, added = _tiny_setup()
-    plan = "save:attn_out*,ff_hidden*"
+    plan = "save:attn_out*,xattn_out*,ff_hidden*"
     g_ref = jax.grad(_grad_fn(cfg, params, lat, t, ctx, added, plan))(params)
     g_q = jax.grad(
-        _grad_fn(cfg, params, lat, t, ctx, added, plan, stash8="attn_out*,ff_hidden*")
+        _grad_fn(
+            cfg, params, lat, t, ctx, added, plan,
+            stash8="attn_out*,xattn_out*,ff_hidden*",
+        )
     )(params)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_q)):
         a, b = np.asarray(a), np.asarray(b)
