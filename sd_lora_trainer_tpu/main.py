@@ -480,8 +480,19 @@ def train(config: TrainingConfig):
             return jax.lax.scan(lambda s, b: core_step(s, b, fr), st, batches)
 
         step_fn = jax.jit(_multi_step, donate_argnums=(0,))
+        # A horizon (or resume point) that isn't K-aligned leaves a ragged
+        # tail of < K steps. It runs as single-step calls from THIS program
+        # so the run stops EXACTLY at max_train_steps — the reference's
+        # horizon semantics (and resume equivalence with K=1 runs) are worth
+        # one extra tail compile on the rare ragged configs.
+        step_fn_single = (
+            jax.jit(core_step, donate_argnums=(0,))
+            if (config.max_train_steps - resume_step) % steps_per_call
+            else None
+        )
     else:
         step_fn = jax.jit(core_step, donate_argnums=(0,))
+        step_fn_single = None
 
     def put_batch(batch, leading: int = 1):
         if mesh is None:
@@ -723,6 +734,13 @@ def train(config: TrainingConfig):
                 "ti_token_positions": np.stack([np.asarray(poss, np.int32)] * accum),
                 "latent_scale": np.float32(train_dataset.vae_scaling_factor),
             }
+            if step_fn_single is not None:
+                # this run ends with single-step tail calls — prewarm that
+                # program too so the tail doesn't stall mid-run
+                throwaway = jax.tree.map(
+                    lambda x: jnp.copy(x) if hasattr(x, "copy") else x, state
+                )
+                step_fn_single(throwaway, put_batch(dummy, leading=1), frozen)
             if steps_per_call > 1:
                 # the K-scan program expects a [K, accum, ...] stacked batch
                 dummy = {k: np.stack([v] * steps_per_call) for k, v in dummy.items()}
@@ -801,26 +819,35 @@ def train(config: TrainingConfig):
                 assemble_batch()
                 ff += 1
 
-    # steps_per_call rounds the run length UP to a K multiple so every call
-    # has the same compiled shape (K=1 leaves it untouched). Anchored at the
-    # RESUME step: a state saved at a non-K-multiple step (e.g. written by a
-    # K=1 debug run) must not make the loop overshoot past the horizon by a
-    # partial call — the K grid starts wherever we resumed.
-    remaining = max(config.max_train_steps - resume_step, 0)
-    effective_max = resume_step + -(-remaining // steps_per_call) * steps_per_call
-    if effective_max != config.max_train_steps:
+    # steps_per_call groups K steps per compiled call; the horizon stays
+    # EXACT — a (max_train_steps - resume_step) that isn't a K multiple
+    # leaves a ragged tail of < K steps that runs via step_fn_single.
+    tail_steps = (
+        (config.max_train_steps - resume_step) % steps_per_call
+        if steps_per_call > 1
+        else 0
+    )
+    if tail_steps:
         print(
-            f"[steps_per_call] rounding horizon {config.max_train_steps} -> "
-            f"{effective_max} ({resume_step} + multiple of {steps_per_call})"
+            f"[steps_per_call] horizon {config.max_train_steps} = "
+            f"{resume_step} + groups of {steps_per_call} + {tail_steps} "
+            "single-step tail calls"
         )
 
+    call_k = steps_per_call  # steps executed by the most recent call
+
     def crossed(stride: int) -> bool:
-        """Did this call's K steps cross a multiple of `stride`?"""
-        prev = global_step - steps_per_call
+        """Did this call's steps cross a multiple of `stride`?"""
+        prev = global_step - call_k
         return (global_step // stride) > (prev // stride)
 
-    while global_step < effective_max:
-        if steps_per_call > 1:
+    while global_step < config.max_train_steps:
+        call_k = (
+            steps_per_call
+            if global_step + steps_per_call <= config.max_train_steps
+            else 1
+        )
+        if call_k > 1:
             # grouped drawing: the first batch picks the resolution (under
             # bucketing), the remaining K-1 are pinned to it so the whole
             # call is one compiled shape
@@ -830,11 +857,12 @@ def train(config: TrainingConfig):
             ]
             batch = {k: np.stack([b[k] for b in drawn]) for k in drawn[0]}
             batch = put_batch(batch, leading=2)
+            state, metrics = step_fn(state, batch, frozen)
         else:
             batch = put_batch(assemble_batch()[0])
-        state, metrics = step_fn(state, batch, frozen)
-        global_step += steps_per_call
-        images_done += config.train_batch_size * accum * steps_per_call
+            state, metrics = (step_fn_single or step_fn)(state, batch, frozen)
+        global_step += call_k
+        images_done += config.train_batch_size * accum * call_k
 
         for k, v in metrics.items():
             # keep the device scalars — float() here would force a device sync
@@ -842,7 +870,7 @@ def train(config: TrainingConfig):
             # values are pulled to host lazily at checkpoint/plot time.
             # (scan mode: v is a [K] device array; index lazily too)
             seq = losses.setdefault(k, [])
-            if steps_per_call > 1:
+            if call_k > 1:
                 seq.extend(v[i] for i in range(steps_per_call))
             else:
                 seq.append(v)

@@ -135,6 +135,36 @@ def test_interrupt_resume_equals_uninterrupted(tiny_env):
             rtol=1e-5, atol=1e-7, err_msg=k,
         )
 
+    # A2/B2: crash at step 5 — NOT a multiple of the resume run's
+    # steps_per_call (default 4) — so the host-RNG fast-forward must replay
+    # one full K-group plus one single draw (main.py resume replay), and the
+    # remaining 3 steps exercise the trainer's sub-K tail. Must still equal
+    # the uninterrupted run C bit-for-bit.
+    cfg_a2 = TrainingConfig(
+        name="resA2", lora_training_urls=tiny_env["data"], concept_mode="style",
+        caption_model="no_caption", sd_model_version="sdxl",
+        ckpt_path=tiny_env["ckpt"], seed=0, resolution=64,
+        validation_img_size=64, train_batch_size=2, max_train_steps=8,
+        checkpointing_steps=5, n_sample_imgs=1, lora_rank=4,
+        skip_gpt_cleanup=True, augment_imgs_up_to_n=0,
+        save_train_state=True, steps_per_call=1,
+        output_dir=str(tiny_env["root"] / "runs_resA2"),
+    )
+    gen = train(cfg_a2)
+    for _ in range(5):
+        next(gen)
+    gen.close()
+    state_path2 = os.path.join(str(cfg_a2.output_dir), "train_state")
+    assert os.path.exists(state_path2), "rolling train_state not written at 5"
+    _, dir_b2 = _run(tiny_env, "resB2", max_train_steps=8, resume_from=state_path2)
+    b2 = norm(_load_artifacts(dir_b2))
+    assert set(b2) == set(c)
+    for k in b2:
+        np.testing.assert_allclose(
+            np.asarray(b2[k], np.float32), np.asarray(c[k], np.float32),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )
+
 
 def test_resume_past_end_raises(tiny_env):
     _, dir_a = _run(tiny_env, "resD", max_train_steps=4, save_train_state=True)
