@@ -86,18 +86,28 @@ def peft_to_kohya(peft_sd, prefix, alpha):
     return out
 
 
-def main():
+def generate(model: str):
     from peft import LoraConfig, get_peft_model
     from peft.utils import get_peft_model_state_dict
 
     from sd_lora_trainer_tpu.models.clip import CLIP_BIG_G_CONFIG, CLIP_L_CONFIG, init_clip_params
-    from sd_lora_trainer_tpu.models.unet import SDXL_UNET_CONFIG, init_unet_params
+    from sd_lora_trainer_tpu.models.unet import (
+        SD15_UNET_CONFIG,
+        SDXL_UNET_CONFIG,
+        init_unet_params,
+    )
+
+    unet_cfg = SDXL_UNET_CONFIG if model == "sdxl" else SD15_UNET_CONFIG
+    # diffusers convert_state_dict_to_kohya maps text_encoder. -> lora_te1.
+    # even for single-TE sd15 (NOT sd-scripts' unindexed lora_te_), so the
+    # reference chain — and therefore our export — uses te1 for both models
+    clip_cfgs = [CLIP_L_CONFIG, CLIP_BIG_G_CONFIG] if model == "sdxl" else [CLIP_L_CONFIG]
 
     manifest = {"rank": RANK, "alpha": float(RANK), "keys": {}}
 
     # UNet: reference target modules, trainer/optimizer.py:84
     shapes = jax.eval_shape(
-        lambda: init_unet_params(jax.random.PRNGKey(0), SDXL_UNET_CONFIG, dtype=jnp.float32)
+        lambda: init_unet_params(jax.random.PRNGKey(0), unet_cfg, dtype=jnp.float32)
     )
     skeleton = build_skeleton(flat_kernel_shapes(shapes))
     cfg = LoraConfig(
@@ -109,7 +119,7 @@ def main():
     manifest["keys"].update(peft_to_kohya(sd, "lora_unet_", RANK))
 
     # text encoders: trainer/optimizer.py:162
-    for i, clip_cfg in enumerate([CLIP_L_CONFIG, CLIP_BIG_G_CONFIG]):
+    for i, clip_cfg in enumerate(clip_cfgs):
         shapes = jax.eval_shape(
             lambda c=clip_cfg: init_clip_params(jax.random.PRNGKey(0), c, dtype=jnp.float32)
         )
@@ -122,12 +132,17 @@ def main():
         manifest["keys"].update(peft_to_kohya(sd, f"lora_te{i + 1}_", RANK))
 
     out_path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
-                            "kohya_sdxl_rank16.json")
+                            f"kohya_{model}_rank16.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     n_adapters = sum(1 for k in manifest["keys"] if k.endswith(".alpha"))
     print(f"wrote {out_path}: {len(manifest['keys'])} keys, {n_adapters} adapted modules")
+
+
+def main():
+    for model in ("sdxl", "sd15"):
+        generate(model)
 
 
 if __name__ == "__main__":
