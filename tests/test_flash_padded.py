@@ -70,6 +70,30 @@ def test_flash_mha_padded_matches_einsum_fwd_and_grad(L):
     assert np.isfinite(np.asarray(o_f)).all()
 
 
+def test_flash_mha_stash8_out_close_to_exact():
+    """stash8_out=True quantizes the kernel's output residual to int8; the
+    primal output becomes dequant(quant(o)) — within the row-wise int8
+    error bound of the exact kernel, with finite gradients."""
+    from jax.experimental.pallas.tpu import force_tpu_interpret_mode
+
+    heads, hd, L = 2, 64, 256
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(k1, (1, L, heads * hd), jnp.float32)
+    k = jax.random.normal(k2, (1, L, heads * hd), jnp.float32)
+    v = jax.random.normal(k3, (1, L, heads * hd), jnp.float32)
+
+    with force_tpu_interpret_mode():
+        o_exact = flash_mha(q, k, v, heads)
+        o_q = flash_mha(q, k, v, heads, stash8_out=True)
+        g = jax.grad(
+            lambda q, k, v: jnp.sum(jnp.sin(flash_mha(q, k, v, heads, stash8_out=True)))
+        )(q, k, v)
+    err = np.abs(np.asarray(o_q) - np.asarray(o_exact))
+    rowmax = np.abs(np.asarray(o_exact)).max()
+    assert err.max() <= rowmax / 200, (err.max(), rowmax)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_qualifies_accepts_bucket_lengths(monkeypatch):
     import sd_lora_trainer_tpu.ops.flash_attention as fa
 
