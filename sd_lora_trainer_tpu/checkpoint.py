@@ -13,7 +13,8 @@
 rebuild model params from the base checkpoint, re-attach TI rows and LoRA
 adapters at a given scale, for from-disk validation and eval.
 
-On top of the reference surface we add orbax-backed *resumable* train state
+On top of the reference surface we add a *resumable* train state (one flat
+safetensors file; see save_train_state for why not orbax)
 (optimizer moments, PRNG key, step) — the reference cannot resume mid-run
 (SURVEY.md §5): its checkpoints store exportable artifacts only.
 """
@@ -139,7 +140,7 @@ def load_checkpoint(
 
 
 # ---------------------------------------------------------------------------
-# Resumable train state (orbax) — capability the reference lacks
+# Resumable train state (flat safetensors) — capability the reference lacks
 # ---------------------------------------------------------------------------
 
 
