@@ -145,3 +145,21 @@ def test_stash8_through_jitted_train_step():
     ref, q = float(m_ref["img_loss"]), float(m_q["img_loss"])
     assert np.isfinite(q)
     assert abs(ref - q) / max(abs(ref), 1e-6) < 5e-2, (ref, q)
+
+    # multi-step drift: 30 optimizer steps on the fixed batch must track the
+    # bf16-save trajectory (both overfit; int8 noise must not change the
+    # training dynamics, only perturb individual losses slightly)
+    traj = {}
+    for name, cfg_sc in (("ref", sc), ("q8", sc_q)):
+        st = state
+        fn = jax.jit(make_train_step(cfg_sc, optimizer))
+        ls = []
+        for _ in range(30):
+            st, m = fn(st, batch, frozen)
+            ls.append(float(m["img_loss"]))
+        traj[name] = ls
+    # same overfitting shape: late-window means within 5%
+    late_ref = np.mean(traj["ref"][-10:])
+    late_q = np.mean(traj["q8"][-10:])
+    assert abs(late_ref - late_q) / max(abs(late_ref), 1e-6) < 5e-2, (late_ref, late_q)
+    assert late_q < np.mean(traj["q8"][:5]), traj["q8"]  # it actually learns
