@@ -220,3 +220,21 @@ def test_bucketed_steps_per_call(tiny_env):
     assert args["aspect_ratio_bucketing"] is True
     losses = args["training_attributes"]["final_losses"]["img_loss"]
     assert losses and all(np.isfinite(x) for x in losses)
+
+
+def test_union_bucketing_ragged_tail_stash8(tiny_env):
+    """The round-4 feature union in one run: bucketing + K-scan with a
+    ragged single-step tail (7 = 3x2 + 1) + an int8 stash8 remat plan."""
+    config, save_dir = _run_train(
+        tiny_env, name="union", aspect_ratio_bucketing=True,
+        max_train_steps=7, steps_per_call=2,
+        remat="save:attn_out*,xattn_out*,ff_hidden*",
+        remat_stash8="attn_out*,xattn_out*,ff_hidden*",
+    )
+    files = os.listdir(save_dir)
+    assert any(f.endswith("_lora.safetensors") for f in files)
+    # exact horizon: the final checkpoint is at step 7, not a K-rounded 8
+    assert save_dir.rstrip("/").endswith("checkpoint-7"), save_dir
+    args = json.load(open(os.path.join(save_dir, "training_args.json")))
+    losses = args["training_attributes"]["final_losses"]["img_loss"]
+    assert losses and all(np.isfinite(x) for x in losses)
