@@ -126,6 +126,31 @@ def main():
         t2 = te2["text_model"]["embeddings"]["token_embedding"]["weight"]
         dist_targets["te2"] = DistributionLossTargets.from_embeddings(t2)
 
+    # Adapters are created from the UNFUSED tree (the product order,
+    # main.py): fusion deletes the q/k/v base kernels, so creating adapters
+    # after it silently dropped 50 of SDXL's 91 LoRA targets — caught in
+    # round 4; earlier fused-mode numbers carried that small flattering bias.
+    def make_trainable(k3, k4, k5):
+        t = {
+            "unet": create_lora_params(k3, unet, rank=16, targets=UNET_TARGETS),
+            "ti": {"te1": jax.random.normal(k4, (3, 768)) * 0.01},
+        }
+        if model == "sdxl":
+            t["ti"]["te2"] = jax.random.normal(k5, (3, 1280)) * 0.01
+        return t
+
+    trainable = jax.jit(make_trainable)(ks[3], ks[4], ks[5])
+
+    if os.environ.get("BENCH_BASEQ", "") == "int8":
+        # int8 frozen base (models/quant.py): frees ~2.4 GB of HBM for
+        # richer save: plans; dequant runs inside the remat'd blocks
+        from sd_lora_trainer_tpu.models.quant import quantize_base_weights
+
+        # one jitted program: eager per-leaf quantization would issue
+        # thousands of tiny device ops over the tunnel
+        unet = jax.jit(quantize_base_weights)(unet)
+        print("[bench] frozen base kernels -> int8", flush=True, file=sys.stderr)
+
     if os.environ.get("BENCH_FUSE_QKV", "1") == "1":
         # fused qkv/kv projection layout (models/fuse.py): fewer, larger MXU
         # matmuls; numerics pinned by tests/test_fused_qkv.py
@@ -158,16 +183,6 @@ def main():
         _testing_no_output_dir=True,
     )
 
-    def make_trainable(k3, k4, k5):
-        t = {
-            "unet": create_lora_params(k3, unet, rank=16, targets=UNET_TARGETS),
-            "ti": {"te1": jax.random.normal(k4, (3, 768)) * 0.01},
-        }
-        if model == "sdxl":
-            t["ti"]["te2"] = jax.random.normal(k5, (3, 1280)) * 0.01
-        return t
-
-    trainable = jax.jit(make_trainable)(ks[3], ks[4], ks[5])
     optimizer = build_optimizer(config, trainable)
     sc = StepConfig.from_config(config, 1.0)
     import dataclasses

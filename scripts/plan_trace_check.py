@@ -78,18 +78,33 @@ batch_sh = jax.eval_shape(lambda: {
     "latent_scale": jnp.float32(0.13025),
 })
 
+from sd_lora_trainer_tpu.models.quant import quantize_base_weights
+
+def build_frozen_q():
+    f = build_frozen()
+    return dataclasses.replace(f, unet_params=quantize_base_weights(f.unet_params))
+
+frozen_q_sh = jax.eval_shape(build_frozen_q)
+
+# (remat, stash8, baseq) — mirror scripts/r4_bench_queue.sh
 PLANS = [
-    ("save:flash_out*,flash_lse*", ""),
-    ("light+save:flash_out*,flash_lse*", ""),
-    ("save:flash_out*,flash_lse*", "flash_out*"),
-    ("save:flash_out*,flash_lse*,xattn_out_c1280", "flash_out*,xattn_out_c1280"),
-    ("save:flash_out*,flash_lse*,xattn_out*", "flash_out*,xattn_out*"),
-    ("light+save:flash_out*,flash_lse*", "flash_out*"),
+    ("save:flash_out*,flash_lse*", "", False),
+    ("light+save:flash_out*,flash_lse*", "", False),
+    ("save:flash_out*,flash_lse*", "flash_out*", False),
+    ("save:flash_out*,flash_lse*,xattn_out_c1280", "flash_out*,xattn_out_c1280", False),
+    ("save:flash_out*,flash_lse*,xattn_out*", "flash_out*,xattn_out*", False),
+    ("light+save:flash_out*,flash_lse*", "flash_out*", False),
+    # int8 frozen base (models/quant.py) + the plans its freed HBM unlocks
+    ("save:flash_out*,flash_lse*", "", True),
+    ("save:flash_out*,flash_lse*,xattn_out*", "", True),
+    ("save:flash_out*,flash_lse*,xattn_out*,attn_out*", "", True),
+    ("light+save:flash_out*,flash_lse*", "", True),
+    ("save:flash_out*,flash_lse*,xattn_out*,ff_hidden_c1280", "ff_hidden_c1280", True),
 ]
 sc0 = StepConfig.from_config(config, 1.0)
-for remat, stash8 in PLANS:
+for remat, stash8, baseq in PLANS:
     sc = dataclasses.replace(sc0, remat=remat, stash8=stash8, use_flash=False)
     step = make_train_step(sc, optimizer)
-    out = jax.eval_shape(step, state_sh, batch_sh, frozen_sh)
-    print(f"OK  remat={remat!r} stash8={stash8!r}")
+    out = jax.eval_shape(step, state_sh, batch_sh, frozen_q_sh if baseq else frozen_sh)
+    print(f"OK  remat={remat!r} stash8={stash8!r} baseq={baseq}")
 print("ALL PLANS TRACE at full SDXL 1024px bs=8")

@@ -46,6 +46,36 @@ run "sdxl save:flash,xattn* + stash8" \
 run "sdxl light+save:flash + stash8" \
   BENCH_REMAT='light+save:flash_out*,flash_lse*' BENCH_STASH8='flash_out*' --
 
+# 5b. int8 frozen base (models/quant.py): ~2.4 GB of HBM freed. NOTE: all
+#     runs in this queue recompile once — the bench adapter-set fix (round 4:
+#     adapters now created before fusion, 91 targets not 41) changed the
+#     program; numbers are the honest like-for-like refresh.
+#     First sanity: default plan + baseq (expect ~= #0 minus dequant cost).
+run "sdxl baseq + save:flash" BENCH_BASEQ=int8 --
+
+#     The plans the bf16 frontier denied by ~1 GB (round-4 table), now with
+#     2.4 GB headroom: cross-attn outputs, then + self-attn outputs, then
+#     light (plain-resnet saves) on top of the flash residuals.
+run "sdxl baseq + save:flash,xattn*" \
+  BENCH_BASEQ=int8 BENCH_REMAT='save:flash_out*,flash_lse*,xattn_out*' --
+run "sdxl baseq + save:flash,xattn*,attn_out*" \
+  BENCH_BASEQ=int8 BENCH_REMAT='save:flash_out*,flash_lse*,xattn_out*,attn_out*' --
+run "sdxl baseq + light+save:flash" \
+  BENCH_BASEQ=int8 BENCH_REMAT='light+save:flash_out*,flash_lse*' --
+#     Gamble: the c1280 GEGLU hiddens in int8 (stash8) on top — ~2.5 GB;
+#     fits only if the freed headroom is fully real.
+run "sdxl baseq + save:flash,xattn*,ff1280 + stash8 ff" \
+  BENCH_BASEQ=int8 BENCH_REMAT='save:flash_out*,flash_lse*,xattn_out*,ff_hidden_c1280' \
+  BENCH_STASH8='ff_hidden_c1280' --
+
+#     Freed HBM may move the optimal batch (bs=12 was HBM-pressured at 3.75
+#     in r3; bs=16 OOM'd): re-probe under baseq.
+run "sdxl baseq bs12" BENCH_BASEQ=int8 BENCH_BS=12 --
+run "sdxl baseq bs16 (gamble)" BENCH_BASEQ=int8 BENCH_BS=16 --
+
+# 5c. anchor-config refresh with the fixed adapter set (was 19.44)
+run "sdxl 512 bs16 anchor (fixed adapters)" BENCH_RES=512 BENCH_BS=16 --
+
 # 6. SD15 flash block sweeps at its head dims (d=40 L=4096, d=80 L=1024)
 echo "=== sd15 block sweep d=40 ===" | tee -a "$LOG"
 SWEEP_B=8 SWEEP_L=4096 SWEEP_H=8 SWEEP_D=40 timeout 2400 python scripts/flash_block_sweep.py 2>&1 | tee -a "$LOG"

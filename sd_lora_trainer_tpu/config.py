@@ -179,6 +179,15 @@ class TrainingConfig(BaseModel):
     # a bounded activation-precision cost (ops/stash8.py). Requires a
     # "save:"-family remat plan that lists the same names. Off by default.
     remat_stash8: str = ""
+    # Store the FROZEN base UNet's matmul/conv kernels as per-output-channel
+    # int8 codes + fp32 scales (models/quant.py), dequantized at use inside
+    # the rematerialized blocks — frees ~2.4 GB of HBM on SDXL for richer
+    # `save:` remat plans at a <=0.4%-per-weight precision cost the LoRA
+    # adapters train through. LoRA-mode only (full finetune trains the base),
+    # remat-on configs only (with remat off the dequantized weights stay live
+    # fwd->bwd and nothing is freed); ignored under sharding_mode="tp"
+    # (sharding specs pattern-match bf16 kernel shapes). "none" | "int8".
+    quantize_base: str = "none"
     # Fuse attn1 q/k/v (and attn2 k/v) base kernels into single matmuls for
     # the jitted step's frozen copy (models/fuse.py). Numerics identical
     # (tests/test_fused_qkv.py); auto-disabled with DoRA (needs per-projection

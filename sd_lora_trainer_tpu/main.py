@@ -289,6 +289,30 @@ def train(config: TrainingConfig):
         math.ceil(config.max_train_steps * config.gradient_accumulation_steps / n_batches_per_epoch)
     )
 
+    # ---- optional int8 frozen base (models/quant.py) ----
+    # Replaces loaded.unet's kernels with int8 codes + scales BEFORE the
+    # frozen bundle and the render pipeline capture it, so the bf16 originals
+    # are freed and exactly one (quantized) base resides on device. Renders
+    # merge adapters over the dequantized base (merge_lora handles QTensor).
+    if config.quantize_base == "int8":
+        if not config.is_lora:
+            print("[quantize_base] full finetune trains the base; ignoring")
+        elif config.sharding_mode == "tp":
+            print("[quantize_base] tp shards bf16 kernels; ignoring")
+        else:
+            from sd_lora_trainer_tpu.models.quant import (
+                quantize_base_weights,
+                quantized_bytes_saved,
+            )
+
+            # one jitted program (eager per-leaf quantization would issue
+            # thousands of tiny device ops over a remote-TPU tunnel)
+            loaded.unet = jax.jit(quantize_base_weights)(loaded.unet)
+            saved = quantized_bytes_saved(loaded.unet) / 2**30
+            print(f"[quantize_base] frozen UNet kernels -> int8 ({saved:.2f} GiB freed)")
+    elif config.quantize_base != "none":
+        raise ValueError(f"quantize_base must be 'none' or 'int8', got {config.quantize_base!r}")
+
     # ---- frozen bundle + jitted step ----
     dist_targets = {"te1": handler.distribution_targets[0]} if 0 in handler.distribution_targets else {}
     if 1 in handler.distribution_targets:

@@ -23,6 +23,23 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sd_lora_trainer_tpu.models.quant import QTensor
+
+
+def _concat_out(kernels):
+    """Concatenate projection kernels along the output axis.
+
+    Quantized bases (models/quant.py) concatenate code-wise: per-output-channel
+    scales live on the same axis, so the fused QTensor is exactly the
+    quantization of the fused kernel."""
+    if all(isinstance(k, QTensor) for k in kernels):
+        return QTensor(
+            jnp.concatenate([k.q for k in kernels], axis=1),
+            jnp.concatenate([k.s for k in kernels], axis=1),
+            kernels[0].dtype,
+        )
+    return jnp.concatenate(kernels, axis=1)
+
 
 def _fuse_tblock(tb: dict) -> dict:
     tb = dict(tb)
@@ -34,7 +51,7 @@ def _fuse_tblock(tb: dict) -> dict:
         if not all("kernel" in a.get(n, {}) for n in names):
             continue
         a[fused_key] = {
-            "kernel": jnp.concatenate([a[n]["kernel"] for n in names], axis=1)
+            "kernel": _concat_out([a[n]["kernel"] for n in names])
         }
         for n in names:
             sub = dict(a[n])

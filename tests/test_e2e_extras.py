@@ -222,6 +222,26 @@ def test_bucketed_steps_per_call(tiny_env):
     assert losses and all(np.isfinite(x) for x in losses)
 
 
+def test_quantize_base_training_run(tiny_env, capsys):
+    """quantize_base="int8" end-to-end: the frozen UNet trains as int8
+    codes+scales (main.py wiring), adapters export normally, and the
+    validation render merges LoRA over the dequantized base (merge_lora on
+    QTensor leaves)."""
+    config, save_dir = _run_train(
+        tiny_env, name="baseq", quantize_base="int8",
+        remat="save:attn_out*",
+    )
+    out = capsys.readouterr().out
+    assert "[quantize_base] frozen UNet kernels -> int8" in out
+    files = os.listdir(save_dir)
+    assert any(f.endswith("_lora.safetensors") for f in files)
+    args = json.load(open(os.path.join(save_dir, "training_args.json")))
+    losses = args["training_attributes"]["final_losses"]["img_loss"]
+    assert losses and all(np.isfinite(x) for x in losses)
+    # the render path produced sample images over the quantized base
+    assert any(f.startswith("img_") for f in files), files
+
+
 def test_union_bucketing_ragged_tail_stash8(tiny_env):
     """The round-4 feature union in one run: bucketing + K-scan with a
     ragged single-step tail (7 = 3x2 + 1) + an int8 stash8 remat plan."""
