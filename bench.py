@@ -141,15 +141,24 @@ def main():
 
     trainable = jax.jit(make_trainable)(ks[3], ks[4], ks[5])
 
-    if os.environ.get("BENCH_BASEQ", "") == "int8":
+    baseq = os.environ.get("BENCH_BASEQ", "")
+    if baseq in ("int8", "int8+te"):
         # int8 frozen base (models/quant.py): frees ~2.4 GB of HBM for
-        # richer save: plans; dequant runs inside the remat'd blocks
+        # richer save: plans; dequant runs inside the remat'd blocks.
+        # "int8+te" also quantizes the TEs (+~0.75 GB) — StepConfig.remat_te
+        # then remats the conditioning so the dequants stay transient.
         from sd_lora_trainer_tpu.models.quant import quantize_base_weights
 
         # one jitted program: eager per-leaf quantization would issue
         # thousands of tiny device ops over the tunnel
         unet = jax.jit(quantize_base_weights)(unet)
-        print("[bench] frozen base kernels -> int8", flush=True, file=sys.stderr)
+        if baseq == "int8+te":
+            te1 = jax.jit(quantize_base_weights)(te1)
+            if te2 is not None:
+                te2 = jax.jit(quantize_base_weights)(te2)
+        print(f"[bench] frozen base kernels -> {baseq}", flush=True, file=sys.stderr)
+    elif baseq:
+        raise SystemExit(f"unknown BENCH_BASEQ={baseq!r}")
 
     if os.environ.get("BENCH_FUSE_QKV", "1") == "1":
         # fused qkv/kv projection layout (models/fuse.py): fewer, larger MXU
@@ -180,6 +189,7 @@ def main():
         lora_rank=16,
         train_batch_size=batch_size,
         resolution=resolution,
+        quantize_base=baseq or "none",  # -> StepConfig.remat_te for int8+te
         _testing_no_output_dir=True,
     )
 

@@ -107,4 +107,20 @@ for remat, stash8, baseq in PLANS:
     step = make_train_step(sc, optimizer)
     out = jax.eval_shape(step, state_sh, batch_sh, frozen_q_sh if baseq else frozen_sh)
     print(f"OK  remat={remat!r} stash8={stash8!r} baseq={baseq}")
+
+# int8+te: TEs quantized too, conditioning rematerialized (remat_te)
+def build_frozen_qte():
+    f = build_frozen_q()
+    return dataclasses.replace(
+        f,
+        te1_params=quantize_base_weights(f.te1_params),
+        te2_params=quantize_base_weights(f.te2_params),
+    )
+
+frozen_qte_sh = jax.eval_shape(build_frozen_qte)
+for remat in ("save:flash_out*,flash_lse*,xattn_out*,attn_out*",):
+    sc = dataclasses.replace(sc0, remat=remat, stash8="", use_flash=False, remat_te=True)
+    step = make_train_step(sc, optimizer)
+    jax.eval_shape(step, state_sh, batch_sh, frozen_qte_sh)
+    print(f"OK  remat={remat!r} baseq=int8+te remat_te=True")
 print("ALL PLANS TRACE at full SDXL 1024px bs=8")

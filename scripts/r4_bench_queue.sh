@@ -68,6 +68,11 @@ run "sdxl baseq + save:flash,xattn*,ff1280 + stash8 ff" \
   BENCH_BASEQ=int8 BENCH_REMAT='save:flash_out*,flash_lse*,xattn_out*,ff_hidden_c1280' \
   BENCH_STASH8='ff_hidden_c1280' --
 
+#     int8+te: TEs quantized too (+~0.75 GB) with the conditioning
+#     rematerialized — run the most aggressive non-gamble plan on top.
+run "sdxl baseq+te + save:flash,xattn*,attn_out*" \
+  BENCH_BASEQ='int8+te' BENCH_REMAT='save:flash_out*,flash_lse*,xattn_out*,attn_out*' --
+
 #     Freed HBM may move the optimal batch (bs=12 was HBM-pressured at 3.75
 #     in r3; bs=16 OOM'd): re-probe under baseq.
 run "sdxl baseq bs12" BENCH_BASEQ=int8 BENCH_BS=12 --

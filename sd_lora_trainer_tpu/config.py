@@ -186,7 +186,10 @@ class TrainingConfig(BaseModel):
     # adapters train through. LoRA-mode only (full finetune trains the base),
     # remat-on configs only (with remat off the dequantized weights stay live
     # fwd->bwd and nothing is freed); ignored under sharding_mode="tp"
-    # (sharding specs pattern-match bf16 kernel shapes). "none" | "int8".
+    # (sharding specs pattern-match bf16 kernel shapes). "int8+te" also
+    # quantizes the frozen text-encoder kernels (~0.75 GB more on SDXL) and
+    # remats the conditioning forward so their dequants stay transient
+    # (StepConfig.remat_te). "none" | "int8" | "int8+te".
     quantize_base: str = "none"
     # Fuse attn1 q/k/v (and attn2 k/v) base kernels into single matmuls for
     # the jitted step's frozen copy (models/fuse.py). Numerics identical

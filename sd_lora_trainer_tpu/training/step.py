@@ -101,6 +101,10 @@ class StepConfig:
     flash_tp: object = None
     # Names whose remat stash is row-wise int8 (ops/stash8.py); "" = none.
     stash8: str = ""
+    # Rematerialize the text-encoder conditioning (jax.checkpoint, nothing
+    # saveable). Set by quantize_base "int8+te": without it the dequantized
+    # bf16 TE kernels stay live fwd->bwd and the int8 storage frees nothing.
+    remat_te: bool = False
 
     @classmethod
     def from_config(cls, config: TrainingConfig, img_ratio: float) -> "StepConfig":
@@ -142,6 +146,7 @@ class StepConfig:
             use_flash=True,
             remat=remat,
             stash8=config.remat_stash8,
+            remat_te=config.quantize_base == "int8+te",
             max_train_steps=config.max_train_steps,
             ti_freeze_f=config.freeze_ti_after_completion_f,
             ti_lr=config.ti_lr,
@@ -186,29 +191,48 @@ def compute_loss(
 
     # conditioning (grads flow into TI rows / TE-LoRA)
     ti = trainable.get("ti", {})
-    if frozen.version == "sdxl":
-        prompt_embeds, pooled, add_time_ids = sdxl_conditioning(
-            _te_params_with_adapters(frozen, trainable, "te1"),
-            _te_params_with_adapters(frozen, trainable, "te2"),
+
+    def run_cond(tr):
+        ti_ = tr.get("ti", {})
+        if frozen.version == "sdxl":
+            return sdxl_conditioning(
+                _te_params_with_adapters(frozen, tr, "te1"),
+                _te_params_with_adapters(frozen, tr, "te2"),
+                batch["input_ids"],
+                batch["input_ids_2"],
+                frozen.te1_config,
+                frozen.te2_config,
+                frozen.resolution,
+                ti_rows_1=ti_.get("te1"),
+                ti_rows_2=ti_.get("te2"),
+                dtype=latent.dtype,
+            )
+        pe, _, _ = sd15_conditioning(
+            _te_params_with_adapters(frozen, tr, "te1"),
             batch["input_ids"],
-            batch["input_ids_2"],
             frozen.te1_config,
-            frozen.te2_config,
-            frozen.resolution,
-            ti_rows_1=ti.get("te1"),
-            ti_rows_2=ti.get("te2"),
+            ti_rows=ti_.get("te1"),
             dtype=latent.dtype,
         )
-        added_cond = {"text_embeds": pooled, "time_ids": add_time_ids}
+        return pe, None, None
+
+    if sc.remat_te:
+        # With int8-quantized TEs (quantize_base "int8+te") the backward pass
+        # would otherwise pin every DEQUANTIZED bf16 kernel from forward to
+        # backward (TEs aren't block-rematted like the UNet), negating the
+        # quantization. Rematerializing the whole conditioning keeps only the
+        # int8 codes + the [B,77,*] outputs live; the TE re-forward is ~1% of
+        # step FLOPs at 77 tokens.
+        prompt_embeds, pooled, add_time_ids = jax.checkpoint(
+            run_cond, policy=jax.checkpoint_policies.nothing_saveable
+        )(trainable)
     else:
-        prompt_embeds, _, _ = sd15_conditioning(
-            _te_params_with_adapters(frozen, trainable, "te1"),
-            batch["input_ids"],
-            frozen.te1_config,
-            ti_rows=ti.get("te1"),
-            dtype=latent.dtype,
-        )
-        added_cond = None
+        prompt_embeds, pooled, add_time_ids = run_cond(trainable)
+    added_cond = (
+        {"text_embeds": pooled, "time_ids": add_time_ids}
+        if frozen.version == "sdxl"
+        else None
+    )
 
     # noise (+ offset noise, crosslabs blog; reference main.py:310-317)
     noise = jax.random.normal(k_noise, latent.shape, latent.dtype)

@@ -195,6 +195,110 @@ def test_merge_lora_over_quantized_base():
     assert n_merged > 0
 
 
+def test_te_quant_step_with_remat_te():
+    """quantize_base "int8+te": TEs quantized and the conditioning
+    rematerialized (StepConfig.remat_te). The step's loss stays close to the
+    bf16 run and gradients still flow into the TI rows through the
+    checkpointed conditioning (rows actually move after the update)."""
+    from sd_lora_trainer_tpu.training.optimizers import build_optimizer
+    from sd_lora_trainer_tpu.training.step import StepConfig, TrainState, make_train_step
+    from tests.test_train_step import _batch, _cfg, _trainable, make_tiny_frozen
+
+    frozen = make_tiny_frozen()
+    config = _cfg()
+    sc = dataclasses.replace(
+        StepConfig.from_config(config, 1.0), use_flash=False,
+        remat="save:attn_out*", remat_te=True,
+    )
+    trainable = _trainable(frozen, config, jax.random.PRNGKey(1))
+    frozen_q = dataclasses.replace(
+        frozen,
+        unet_params=quantize_base_weights(frozen.unet_params),
+        te1_params=quantize_base_weights(frozen.te1_params),
+        te2_params=quantize_base_weights(frozen.te2_params),
+    )
+    optimizer = build_optimizer(config, trainable)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        opt_state=optimizer.init(trainable),
+        key=jax.random.PRNGKey(3),
+    )
+    batch = _batch()
+    sc_ref = dataclasses.replace(sc, remat_te=False)
+    _, m_ref = jax.jit(make_train_step(sc_ref, optimizer))(state, batch, frozen)
+    new_state, m_q = jax.jit(make_train_step(sc, optimizer))(state, batch, frozen_q)
+    ref, q = float(m_ref["img_loss"]), float(m_q["img_loss"])
+    assert np.isfinite(q)
+    # TE quantization perturbs the conditioning too; the tiny 32-wide TEs
+    # make that noise far coarser than the real 768/1280-wide encoders
+    assert abs(ref - q) / max(abs(ref), 1e-6) < 1e-1, (ref, q)
+    # TI rows moved => grads flowed through the checkpointed conditioning
+    for which in ("te1", "te2"):
+        delta = np.abs(
+            np.asarray(new_state.trainable["ti"][which])
+            - np.asarray(trainable["ti"][which])
+        ).max()
+        assert delta > 0, which
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_quantized_base_dp_mesh_step(eight_cpu_devices):
+    """QTensor frozen leaves ride the 8-device DP mesh: codes+scales
+    replicate like any frozen leaf, the sharded step compiles with real
+    collective traffic, and the loss matches the single-device quantized
+    step (same guarantee tests/test_parallel_equivalence.py pins for bf16)."""
+    from sd_lora_trainer_tpu.parallel.sharding import (
+        collective_stats,
+        create_mesh,
+        shard_batch_tree,
+        trainable_shardings,
+    )
+    from sd_lora_trainer_tpu.training.optimizers import build_optimizer
+    from sd_lora_trainer_tpu.training.step import StepConfig, TrainState, make_train_step
+    from tests.test_train_step import _batch, _cfg, _trainable, make_tiny_frozen
+
+    frozen = make_tiny_frozen()
+    config = _cfg()
+    sc = dataclasses.replace(
+        StepConfig.from_config(config, 1.0), use_flash=False, remat="save:attn_out*"
+    )
+    trainable = _trainable(frozen, config, jax.random.PRNGKey(1))
+    frozen_q = dataclasses.replace(
+        frozen, unet_params=quantize_base_weights(frozen.unet_params)
+    )
+    optimizer = build_optimizer(config, trainable)
+    step_fn = make_train_step(sc, optimizer)
+    batch = _batch(batch=8)
+
+    state1 = TrainState(
+        step=jnp.zeros((), jnp.int32), trainable=trainable,
+        opt_state=optimizer.init(trainable), key=jax.random.PRNGKey(3),
+    )
+    _, m1 = jax.jit(step_fn)(state1, jax.tree.map(jnp.asarray, batch), frozen_q)
+
+    mesh = create_mesh(8)
+    t_sh = trainable_shardings(trainable, mesh, mode="dp")
+    state8 = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=jax.tree.map(jax.device_put, trainable, t_sh),
+        opt_state=optimizer.init(trainable),
+        key=jax.random.PRNGKey(3),
+    )
+    sharded_batch = shard_batch_tree(batch, mesh)
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        compiled = jax.jit(step_fn).lower(state8, sharded_batch, frozen_q).compile()
+        _, m8 = compiled(state8, sharded_batch, frozen_q)
+    stats = collective_stats(compiled)
+    assert stats.get("total_bytes", 0) > 10_000, stats
+    np.testing.assert_allclose(
+        float(m1["tot_loss"]), float(m8["tot_loss"]), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_quantized_base_train_step_and_drift():
     """Full jitted train step over the quantized frozen base: loss close to
     the bf16-base run, and the 30-step overfitting trajectory tracks it
