@@ -107,6 +107,10 @@ def main():
     ap.add_argument("--out", default=None, help="output root (default: temp dir)")
     ap.add_argument("--min-train-sim", type=float, default=0.35,
                     help="CLIP train-similarity floor (real weights only)")
+    ap.add_argument("--quantize-base", default="none",
+                    choices=["none", "int8", "int8+te"],
+                    help="rehearse the int8 frozen base (models/quant.py) on "
+                         "real weights: quantize -> train -> render")
     args = ap.parse_args()
 
     if not args.ckpt and not args.synthesize:
@@ -138,6 +142,7 @@ def main():
         lora_rank=8,
         skip_gpt_cleanup=True,
         augment_imgs_up_to_n=0,
+        quantize_base=args.quantize_base,
         output_dir=os.path.join(root, "runs"),
     )
     print(f"[real-weights-check] training {args.steps} steps @ {res}px on {ckpt}",
