@@ -110,14 +110,34 @@ def main():
     print(f"[bench] initializing full-size {model} stack (bs={batch_size}, {resolution}px)...", flush=True, file=sys.stderr)
     _t_init = time.time()
 
-    unet_cfg = SDXL_UNET_CONFIG if model == "sdxl" else SD15_UNET_CONFIG
+    # BENCH_TINY=1 swaps in the tiny model configs so the COMPLETE bench code
+    # path (init, levers, scan, JSON emission) runs in seconds on CPU — used
+    # by tests/test_bench_schema.py; never for reported numbers.
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if tiny:
+        from sd_lora_trainer_tpu.models.synthesize import (
+            TINY_CLIP_G_CONFIG,
+            TINY_CLIP_L_CONFIG,
+        )
+        from sd_lora_trainer_tpu.models.unet import (
+            TINY_SD15_UNET_CONFIG,
+            TINY_SDXL_UNET_CONFIG,
+        )
+
+        unet_cfg = TINY_SDXL_UNET_CONFIG if model == "sdxl" else TINY_SD15_UNET_CONFIG
+        te1_cfg = TINY_CLIP_L_CONFIG
+        te2_cfg = TINY_CLIP_G_CONFIG
+    else:
+        unet_cfg = SDXL_UNET_CONFIG if model == "sdxl" else SD15_UNET_CONFIG
+        te1_cfg = CLIP_L_CONFIG
+        te2_cfg = CLIP_BIG_G_CONFIG
     # Jit the inits: eager per-leaf init would issue thousands of tiny device
     # ops (catastrophic over a remote TPU tunnel); one compiled program each.
     unet = jax.jit(lambda k: init_unet_params(k, unet_cfg, dtype=jnp.bfloat16))(ks[0])
-    te1 = jax.jit(lambda k: init_clip_params(k, CLIP_L_CONFIG, dtype=jnp.bfloat16))(ks[1])
+    te1 = jax.jit(lambda k: init_clip_params(k, te1_cfg, dtype=jnp.bfloat16))(ks[1])
     te2 = None
     if model == "sdxl":
-        te2 = jax.jit(lambda k: init_clip_params(k, CLIP_BIG_G_CONFIG, dtype=jnp.bfloat16))(ks[2])
+        te2 = jax.jit(lambda k: init_clip_params(k, te2_cfg, dtype=jnp.bfloat16))(ks[2])
     jax.block_until_ready(unet)
     print(f"[bench] init done in {time.time() - _t_init:.1f}s", flush=True, file=sys.stderr)
     t1 = te1["text_model"]["embeddings"]["token_embedding"]["weight"]
@@ -133,13 +153,21 @@ def main():
     def make_trainable(k3, k4, k5):
         t = {
             "unet": create_lora_params(k3, unet, rank=16, targets=UNET_TARGETS),
-            "ti": {"te1": jax.random.normal(k4, (3, 768)) * 0.01},
+            "ti": {"te1": jax.random.normal(k4, (3, te1_cfg.hidden_size)) * 0.01},
         }
         if model == "sdxl":
-            t["ti"]["te2"] = jax.random.normal(k5, (3, 1280)) * 0.01
+            t["ti"]["te2"] = jax.random.normal(k5, (3, te2_cfg.hidden_size)) * 0.01
         return t
 
     trainable = jax.jit(make_trainable)(ks[3], ks[4], ks[5])
+    # self-describing artifact (VERDICT r4 weak #5): count the adapter sites
+    # actually trained so cross-round numbers can't silently mix adapter sets
+    # (the r4 bench bug trained 41 of 91 SDXL targets).
+    adapter_targets = sum(
+        1
+        for path, _ in jax.tree_util.tree_flatten_with_path(trainable["unet"])[0]
+        if getattr(path[-1], "key", None) == "a"  # one lora {a,b,alpha} per site
+    )
 
     baseq = os.environ.get("BENCH_BASEQ", "")
     if baseq in ("int8", "int8+te"):
@@ -172,9 +200,9 @@ def main():
         unet_params=unet,
         unet_config=unet_cfg,
         te1_params=te1,
-        te1_config=CLIP_L_CONFIG,
+        te1_config=te1_cfg,
         te2_params=te2,
-        te2_config=CLIP_BIG_G_CONFIG if model == "sdxl" else None,
+        te2_config=te2_cfg if model == "sdxl" else None,
         schedule=DDPMSchedule.create(),
         version=model,
         resolution=(resolution, resolution),
@@ -256,13 +284,34 @@ def main():
     else:
         step_fn = jax.jit(core_step, donate_argnums=(0,))
 
+    # Complete lever set, emitted inside every JSON result line so BENCH_r*.json
+    # artifacts are comparable across rounds without log archaeology
+    # (schema pinned by tests/test_bench_schema.py).
+    lever_config = {
+        "model": model,
+        "resolution": resolution,
+        "batch_size": batch_size,
+        "remat": sc.remat,
+        "stash8": sc.stash8 or "",
+        "baseq": baseq or "none",
+        "fuse_qkv": os.environ.get("BENCH_FUSE_QKV", "1") == "1",
+        "flash": sc.use_flash,
+        "scan_k": scan_k,
+        "buckets": os.environ.get("BENCH_BUCKETS", ""),
+        "adapter_targets": adapter_targets,
+        "lora_rank": 16,
+    }
+
     rng = np.random.RandomState(0)
 
     def make_batch(lat_h, lat_w):
-        ids = np.full((1, batch_size, 77), 49407, np.int32)
-        ids[..., 0] = 49406
-        ids[..., 1:10] = rng.randint(320, 49000, size=(1, batch_size, 9))
-        ids[..., 3:6] = [49408, 49409, 49410]
+        # token ids derived from the TE vocab so BENCH_TINY stays in range:
+        # bos/eos, 9 random content tokens, TI rows appended after the vocab
+        vocab, eos = te1_cfg.vocab_size, te1_cfg.eos_token_id
+        ids = np.full((1, batch_size, 77), eos, np.int32)
+        ids[..., 0] = eos - 1
+        ids[..., 1:10] = rng.randint(4, vocab - 8, size=(1, batch_size, 9))
+        ids[..., 3:6] = [vocab, vocab + 1, vocab + 2]
         b = {
             "latent_mean": jnp.asarray(
                 rng.randn(1, batch_size, lat_h, lat_w, 4), jnp.bfloat16
@@ -323,6 +372,7 @@ def main():
             "value": round(imgs_per_sec, 3),
             "unit": "imgs/sec/chip",
             "vs_baseline": round(imgs_per_sec / anchor, 3),
+            "config": lever_config,
         }), flush=True)
         return
 
@@ -389,11 +439,18 @@ def main():
     loss_val = last_loss(metrics)
     print(f"[bench] second step took {time.time() - t0:.2f}s (loss={loss_val:.4f})", flush=True, file=sys.stderr)
 
+    # BENCH_LOG_LOSSES=1 prints every call's full loss vector — used by the
+    # full-size quantization-drift A/B (scripts/r5_queue.sh trajectory runs);
+    # off for throughput numbers since the host fetch syncs every call.
+    log_losses = os.environ.get("BENCH_LOG_LOSSES") == "1"
     n_calls = max(n_steps // scan_k, 1)
     t0 = time.time()
     for i in range(n_calls):
         state, metrics = step_fn(state, batch, frozen)
-        if i < 3:
+        if log_losses:
+            vals = ",".join(f"{v:.6f}" for v in np.ravel(metrics["tot_loss"]))
+            print(f"[bench] losses call {i}: {vals}", flush=True, file=sys.stderr)
+        elif i < 3:
             print(f"[bench] call {i}: loss={last_loss(metrics):.4f} "
                   f"({time.time() - t0:.2f}s cumulative)", flush=True, file=sys.stderr)
     final_loss = last_loss(metrics)  # host fetch = hard sync
@@ -447,6 +504,7 @@ def main():
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/s",
         "vs_baseline": round(imgs_per_sec / anchor_at_res, 3),
+        "config": lever_config,
     }
     if mfu is not None:
         out["mfu" if mfu_exact else "mfu_approx"] = round(mfu, 4)

@@ -3,8 +3,11 @@
 # r4_bench_queue.sh, ordered for a ~1h window with a cold compile cache.
 # Each SDXL@1024px run cold-compiles in ~7-9 min; budget ~4-5 runs.
 # Usage: bash scripts/r4_priority_queue.sh [logfile]
+# SUPERSEDED by scripts/r5_queue.sh (resumable, exit-status-logged, budgeted
+# from measured compile times); kept as the r4 record. Default log is
+# untracked (ADVICE r4): commit only finalized snapshots into bench_logs/.
 set -u
-LOG="${1:-bench_logs/r4_queue.log}"
+LOG="${1:-/tmp/r4_priority_queue.log}"
 cd "$(dirname "$0")/.."
 
 run() {
@@ -14,6 +17,8 @@ run() {
   while [ "$1" != "--" ]; do envs+=("$1"); shift; done
   shift
   env "${envs[@]}" timeout 1500 python bench.py 2>>"$LOG" | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}
+  echo "[exit $rc]" | tee -a "$LOG"  # timeouts/crashes visible per run (ADVICE r4)
   echo "" | tee -a "$LOG"
 }
 
