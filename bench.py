@@ -338,7 +338,10 @@ def main():
         sizes = [tuple(int(v) for v in s.split("x")) for s in buckets_env.split(",")]
         step_fns, batches = [], []
         for (h, w) in sizes:
-            sc_b = dataclasses.replace(sc, daam_img_ratio=h / w)
+            # daam_img_ratio is width/height (losses.py:_infer_hw); buckets
+            # are 'HxW'. h/w passed the h*w==q_len assert too (transposed
+            # dims), but oriented the DAAM resize sideways.
+            sc_b = dataclasses.replace(sc, daam_img_ratio=w / h)
             core_b = make_train_step(sc_b, optimizer)
             if scan_k > 1:
                 def multi_b(state, bt, frozen, _core=core_b):

@@ -17,7 +17,7 @@ touch "$LOG"
 run() {
   local timeout_s="$1"; shift
   local label="$1"; shift
-  if grep -qF "RESULT_OK $label" "$LOG"; then
+  if grep -qxF "RESULT_OK $label" "$LOG"; then
     echo "=== $label: already logged, skipping ===" | tee -a "$LOG"
     return
   fi
@@ -36,7 +36,7 @@ run() {
 runcmd() {
   local timeout_s="$1"; shift
   local label="$1"; shift
-  if grep -qF "RESULT_OK $label" "$LOG"; then
+  if grep -qxF "RESULT_OK $label" "$LOG"; then
     echo "=== $label: already logged, skipping ===" | tee -a "$LOG"
     return
   fi

@@ -20,7 +20,7 @@ touch "$LOG"
 run() {
   local timeout_s="$1"; shift
   local label="$1"; shift
-  if grep -qF "RESULT_OK $label" "$LOG"; then
+  if grep -qxF "RESULT_OK $label" "$LOG"; then
     echo "=== $label: already logged, skipping ===" | tee -a "$LOG"
     return
   fi
@@ -39,7 +39,7 @@ run() {
 runcmd() {
   local timeout_s="$1"; shift
   local label="$1"; shift
-  if grep -qF "RESULT_OK $label" "$LOG"; then
+  if grep -qxF "RESULT_OK $label" "$LOG"; then
     echo "=== $label: already logged, skipping ===" | tee -a "$LOG"
     return
   fi
@@ -51,11 +51,13 @@ runcmd() {
   echo "" | tee -a "$LOG"
 }
 
-# 0. kernel microbench at the ragged length itself: the padded flash fwd+grad
-#    at L=3952 (pads to 4096 + segment mask) vs the square 4096 — if the
-#    kernel is fast here, the slowdown is NOT the flash path.
-runcmd 2400 "flash sweep L=3952 d=64" \
-  env SWEEP_B=8 SWEEP_L=3952 SWEEP_H=10 SWEEP_D=64 python scripts/flash_block_sweep.py
+# 0. kernel microbench at the ragged lengths themselves: padded+segment-masked
+#    flash fwd+grad through the REAL flash_mha path (pad plan + seg ids +
+#    slice) at L=3952/988 vs the square 4096/1024 — if the kernel is fast
+#    here, the slowdown is NOT the flash path. (flash_block_sweep.py calls
+#    _named_flash with valid_len=0, which is NOT what flash_mha does at
+#    ragged lengths — hence the dedicated script.)
+runcmd 2400 "ragged flash microbench" python scripts/ragged_flash_microbench.py
 
 # 1-3. whole-step isolation
 run 2400 "ragged 832x1216 alone K=4" BENCH_BUCKETS='832x1216' BENCH_SCAN=4 --
