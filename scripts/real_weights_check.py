@@ -107,10 +107,10 @@ def main():
     ap.add_argument("--out", default=None, help="output root (default: temp dir)")
     ap.add_argument("--min-train-sim", type=float, default=0.35,
                     help="CLIP train-similarity floor (real weights only)")
-    ap.add_argument("--quantize-base", default="none",
-                    choices=["none", "int8", "int8+te"],
-                    help="rehearse the int8 frozen base (models/quant.py) on "
-                         "real weights: quantize -> train -> render")
+    ap.add_argument("--quantize-base", default="auto",
+                    choices=["auto", "none", "int8", "int8+te"],
+                    help="frozen-base quantization (models/quant.py); 'auto' "
+                         "follows the product default (int8 for SDXL LoRA)")
     args = ap.parse_args()
 
     if not args.ckpt and not args.synthesize:

@@ -189,8 +189,13 @@ class TrainingConfig(BaseModel):
     # (sharding specs pattern-match bf16 kernel shapes). "int8+te" also
     # quantizes the frozen text-encoder kernels (~0.75 GB more on SDXL) and
     # remats the conditioning forward so their dequants stay transient
-    # (StepConfig.remat_te). "none" | "int8" | "int8+te".
-    quantize_base: str = "none"
+    # (StepConfig.remat_te). "auto" | "none" | "int8" | "int8+te". "auto"
+    # (the default) resolves via resolve_quantize_base(): int8 for SDXL LoRA
+    # runs — the round-5 measured winner (BENCH_NOTES.md: int8 base +
+    # light+save remat = 4.42 vs 4.17 imgs/s @1024px bs=8, 32-step loss
+    # trajectory within 3.5e-4 of bf16) — and "none" everywhere the lever is
+    # a no-op or a loss (SD15's remat-off plan, full finetune, tp).
+    quantize_base: str = "auto"
     # Fuse attn1 q/k/v (and attn2 k/v) base kernels into single matmuls for
     # the jitted step's frozen copy (models/fuse.py). Numerics identical
     # (tests/test_fused_qkv.py); auto-disabled with DoRA (needs per-projection
@@ -266,6 +271,33 @@ class TrainingConfig(BaseModel):
         self.token_dict = {"TOK": "".join(inserting_list_tokens)}
 
         self.start_time = time.time()
+
+    def resolve_quantize_base(self) -> str:
+        """Concrete "none" | "int8" | "int8+te" for quantize_base="auto".
+
+        "auto" promotes the round-5 measured winner (BENCH_NOTES.md round-5
+        headline: int8 frozen base + `light+save:flash_out*,flash_lse*` =
+        4.42 imgs/s vs the bf16 default's 4.17 @1024px bs=8; the 32-step
+        loss trajectories agree within 3.5e-4 per step): int8 for SDXL LoRA
+        runs, where the ~2.4 GB the int8 base frees pays for the lighter
+        remat plan. Resolves to "none" wherever the lever is a no-op or a
+        loss: SD15's auto plan is remat OFF at <=512px (with no remat the
+        dequantized kernels stay live fwd->bwd, so int8 frees nothing and
+        only adds dequant work), full finetune trains the base, and tp
+        sharding specs pattern-match bf16 kernel shapes.
+        """
+        q = self.quantize_base
+        if q == "auto":
+            q = "int8" if self.sd_model_version == "sdxl" else "none"
+        # The LoRA/tp guards apply to explicit requests too (main.py prints
+        # the "ignoring" diagnostics for those); encoding them here keeps
+        # StepConfig.from_config's remat/remat_te resolution consistent with
+        # whether the base weights actually get quantized.
+        if q in ("int8", "int8+te") and (
+            not self.is_lora or self.sharding_mode == "tp"
+        ):
+            return "none"
+        return q
 
     @classmethod
     def from_json(cls, file_path: str):

@@ -294,39 +294,40 @@ def train(config: TrainingConfig):
     # frozen bundle and the render pipeline capture it, so the bf16 originals
     # are freed and exactly one (quantized) base resides on device. Renders
     # merge adapters over the dequantized base (merge_lora handles QTensor).
-    if config.quantize_base in ("int8", "int8+te"):
-        if not config.is_lora:
-            print("[quantize_base] full finetune trains the base; ignoring")
-        elif config.sharding_mode == "tp":
-            print("[quantize_base] tp shards bf16 kernels; ignoring")
-        else:
-            from sd_lora_trainer_tpu.models.quant import (
-                quantize_base_weights,
-                quantized_bytes_saved,
-            )
+    quantize_base = config.resolve_quantize_base()  # "auto" -> measured-best
+    if quantize_base != config.quantize_base and config.quantize_base != "auto":
+        # explicit int8/int8+te request that the resolver vetoed
+        reason = "full finetune trains the base" if not config.is_lora else "tp shards bf16 kernels"
+        print(f"[quantize_base] {reason}; ignoring")
+    if quantize_base in ("int8", "int8+te"):
+        from sd_lora_trainer_tpu.models.quant import (
+            quantize_base_weights,
+            quantized_bytes_saved,
+        )
 
-            # one jitted program (eager per-leaf quantization would issue
-            # thousands of tiny device ops over a remote-TPU tunnel)
-            loaded.unet = jax.jit(quantize_base_weights)(loaded.unet)
-            saved = quantized_bytes_saved(loaded.unet)
-            if config.quantize_base == "int8+te":
-                # TE kernels too; the step then remats the conditioning so
-                # the dequantized weights never persist fwd->bwd
-                # (StepConfig.remat_te, training/step.py)
-                loaded.text_encoder = jax.jit(quantize_base_weights)(loaded.text_encoder)
-                saved += quantized_bytes_saved(loaded.text_encoder)
-                if loaded.text_encoder_2 is not None:
-                    loaded.text_encoder_2 = jax.jit(quantize_base_weights)(
-                        loaded.text_encoder_2
-                    )
-                    saved += quantized_bytes_saved(loaded.text_encoder_2)
-            print(
-                f"[quantize_base] frozen {'UNet+TE' if config.quantize_base == 'int8+te' else 'UNet'}"
-                f" kernels -> int8 ({saved / 2**30:.2f} GiB freed)"
-            )
-    elif config.quantize_base != "none":
+        # one jitted program (eager per-leaf quantization would issue
+        # thousands of tiny device ops over a remote-TPU tunnel)
+        loaded.unet = jax.jit(quantize_base_weights)(loaded.unet)
+        saved = quantized_bytes_saved(loaded.unet)
+        if quantize_base == "int8+te":
+            # TE kernels too; the step then remats the conditioning so
+            # the dequantized weights never persist fwd->bwd
+            # (StepConfig.remat_te, training/step.py)
+            loaded.text_encoder = jax.jit(quantize_base_weights)(loaded.text_encoder)
+            saved += quantized_bytes_saved(loaded.text_encoder)
+            if loaded.text_encoder_2 is not None:
+                loaded.text_encoder_2 = jax.jit(quantize_base_weights)(
+                    loaded.text_encoder_2
+                )
+                saved += quantized_bytes_saved(loaded.text_encoder_2)
+        print(
+            f"[quantize_base] frozen {'UNet+TE' if quantize_base == 'int8+te' else 'UNet'}"
+            f" kernels -> int8 ({saved / 2**30:.2f} GiB freed)"
+        )
+    elif quantize_base != "none":
         raise ValueError(
-            f"quantize_base must be 'none', 'int8' or 'int8+te', got {config.quantize_base!r}"
+            f"quantize_base must be 'auto', 'none', 'int8' or 'int8+te',"
+            f" got {config.quantize_base!r}"
         )
 
     # ---- frozen bundle + jitted step ----

@@ -109,13 +109,18 @@ class StepConfig:
     @classmethod
     def from_config(cls, config: TrainingConfig, img_ratio: float) -> "StepConfig":
         remat = config.remat
+        quantize_base = config.resolve_quantize_base()
         if remat == "auto":
-            # Measured round-4 plans (BENCH_NOTES.md): at <=512px SD15's full
+            # Measured plans (BENCH_NOTES.md): at <=512px SD15's full
             # activation set fits 16G HBM, so remat is pure recompute waste
-            # (25.4 -> 31.4 imgs/s with it off); SDXL keeps full block remat
-            # but saves the flash kernel's softmax residuals on device,
-            # eliding the fwd-kernel recompute in backward (4.26 -> 4.32
-            # imgs/s @1024px). Resolved HERE so every consumer (train loop,
+            # (25.4 -> 31.4 imgs/s with it off). SDXL with the int8 frozen
+            # base (quantize_base "auto" -> int8 for SDXL LoRA) runs the
+            # round-5 winner — plain-resnet layers save all activations, the
+            # attention layers save the flash residuals (4.17 -> 4.42 imgs/s
+            # @1024px bs=8; the freed ~2.4 GB pays for the lighter plan).
+            # bf16-base SDXL keeps full block remat + flash-residual saves
+            # (every richer bf16 save: plan is ~1 GB past the HBM frontier,
+            # r4 lever table). Resolved HERE so every consumer (train loop,
             # bench, dryruns, tests) gets a concrete plan — unet_forward
             # rejects unresolved strings.
             sizes = config.train_img_size
@@ -129,6 +134,8 @@ class StepConfig:
                 and config.train_batch_size <= 16
             ):
                 remat = False
+            elif quantize_base in ("int8", "int8+te"):
+                remat = "light+save:flash_out*,flash_lse*"
             else:
                 remat = "save:flash_out*,flash_lse*"
         return cls(
@@ -146,7 +153,7 @@ class StepConfig:
             use_flash=True,
             remat=remat,
             stash8=config.remat_stash8,
-            remat_te=config.quantize_base == "int8+te",
+            remat_te=quantize_base == "int8+te",
             max_train_steps=config.max_train_steps,
             ti_freeze_f=config.freeze_ti_after_completion_f,
             ti_lr=config.ti_lr,

@@ -85,3 +85,42 @@ def test_accepts_reference_config_files():
     )
     assert cfg.sd_model_version == "sdxl"
     assert cfg.pretrained_model["version"] == "sdxl"
+
+
+def test_quantize_base_auto_resolution():
+    """quantize_base="auto" promotes the round-5 measured winner (int8 base
+    for SDXL LoRA) and stays off wherever the lever is a no-op or a loss."""
+    assert _cfg(sd_model_version="sdxl").resolve_quantize_base() == "int8"
+    # SD15's auto remat plan is OFF at <=512px: nothing to free
+    assert _cfg().resolve_quantize_base() == "none"
+    # full finetune trains the base; tp shards bf16 kernel shapes
+    assert _cfg(sd_model_version="sdxl", is_lora=False).resolve_quantize_base() == "none"
+    assert (
+        _cfg(sd_model_version="sdxl", sharding_mode="tp").resolve_quantize_base()
+        == "none"
+    )
+    # explicit values pass through (modulo the same guards)
+    assert _cfg(quantize_base="none").resolve_quantize_base() == "none"
+    assert _cfg(quantize_base="int8+te").resolve_quantize_base() == "int8+te"
+    assert (
+        _cfg(quantize_base="int8", is_lora=False).resolve_quantize_base() == "none"
+    )
+
+
+def test_remat_auto_follows_quantize_base():
+    """StepConfig.from_config: the int8 base buys the lighter remat plan
+    (round-5 winner); bf16 SDXL keeps full block remat + flash saves."""
+    from sd_lora_trainer_tpu.training.step import StepConfig
+
+    sdxl = _cfg(sd_model_version="sdxl", resolution=1024)
+    sc = StepConfig.from_config(sdxl, 1.0)
+    assert sc.remat == "light+save:flash_out*,flash_lse*"
+    bf16 = _cfg(sd_model_version="sdxl", resolution=1024, quantize_base="none")
+    assert StepConfig.from_config(bf16, 1.0).remat == "save:flash_out*,flash_lse*"
+    # SD15 <=512px stays remat-off regardless
+    sd15 = _cfg(resolution=512)
+    assert StepConfig.from_config(sd15, 1.0).remat is False
+    # int8+te implies the conditioning remat
+    te = _cfg(sd_model_version="sdxl", resolution=1024, quantize_base="int8+te")
+    sc_te = StepConfig.from_config(te, 1.0)
+    assert sc_te.remat_te and sc_te.remat == "light+save:flash_out*,flash_lse*"
