@@ -146,6 +146,32 @@ def _tag(x: jnp.ndarray, name: str, stash8_names=frozenset()) -> jnp.ndarray:
     return checkpoint_name(x, name)
 
 
+def _module_pad_len(b: int, ntok: int, c: int, heads: int, use_flash: bool) -> int:
+    """Padded token count for a spatial transformer, or 0 for no padding.
+
+    Aspect-ratio bucket shapes produce self-attention lengths the flash
+    kernel must pad (832x1216 -> 3952 -> 4096). Padding per attention call
+    serialized ~500 x 40 MB pad/slice DMAs per train step — 7.1 s/step of
+    async-copy wall against 2.1 s of compute (bench_logs/r5_session.log,
+    ragged 832x1216 profile). Instead the UNet pads ONCE per module: every
+    transformer block then runs at the padded length (LN/FF/residuals are
+    row-local; self-attention masks pad tokens via segment ids; cross-attn
+    pad rows compute garbage that is sliced off at module exit with zero
+    cotangent), and the pad/slice pair amortizes over the whole block stack.
+    """
+    if not use_flash:
+        return 0
+    from sd_lora_trainer_tpu.ops.flash_attention import (
+        _pad_plan,
+        flash_attention_qualifies,
+    )
+
+    if not flash_attention_qualifies((b, ntok, c), (b, ntok, c), heads):
+        return 0
+    lp = _pad_plan(ntok)[0]
+    return lp if lp != ntok else 0
+
+
 def _transformer_block(
     p: dict,
     x: jnp.ndarray,  # [B, L, C]
@@ -155,6 +181,7 @@ def _transformer_block(
     use_flash: bool,
     flash_tp=None,
     stash8_names=frozenset(),
+    pre_padded: int = 0,  # caller padded L; this many tokens are real
 ):
     from jax.ad_checkpoint import checkpoint_name  # noqa: F401  (via _tag)
 
@@ -182,7 +209,7 @@ def _transformer_block(
         v = dense(a1["to_v"], h)
     attn = self_attention(
         q, k, v, heads, use_flash=use_flash, tp_shard=flash_tp, name_tag=tag,
-        stash8_out=(f"flash_out{tag}" in stash8_names),
+        stash8_out=(f"flash_out{tag}" in stash8_names), pre_padded=pre_padded,
     )
     attn = _tag(attn, f"attn_out{tag}", stash8_names)
     x = x + dense(a1["to_out.0"], attn)
@@ -201,6 +228,9 @@ def _transformer_block(
         k = dense(a2["to_k"], ctx)
         v = dense(a2["to_v"], ctx)
     attn, scores = multihead_attention(q, k, v, heads, capture_scores=capture)
+    if scores is not None and pre_padded:
+        # DAAM consumers assert q_len == h*w — drop the pad rows
+        scores = scores[:, :pre_padded]
     # distinct tag: the SELF-attention attn_out duplicates flash_out bytes
     # (same tensor reshaped), so plans that already save flash residuals can
     # target the non-redundant cross-attention outputs alone
@@ -247,18 +277,28 @@ def _spatial_transformer(
     residual = x
     h = group_norm(p["norm"], x, cfg.norm_num_groups)
     scores_out = {}
+    ntok = hh * ww
     if cfg.use_linear_projection:
-        h = h.reshape(b, hh * ww, c)
+        h = h.reshape(b, ntok, c)
         h = dense(p["proj_in"], h)
     else:
         h = conv2d(p["proj_in"], h, padding="VALID")
-        h = h.reshape(b, hh * ww, c)
+        h = h.reshape(b, ntok, c)
+    # Pad ragged bucket lengths ONCE for the whole block stack (rationale and
+    # per-row-exactness argument at _module_pad_len); blocks mask via segment
+    # ids, the pad rows are sliced off (zero cotangent) before proj_out.
+    pad_to = _module_pad_len(b, ntok, c, heads, use_flash)
+    if pad_to:
+        h = jnp.pad(h, ((0, 0), (0, pad_to - ntok), (0, 0)))
     for i, bp in enumerate(p["transformer_blocks"]):
         h, scores = _transformer_block(
-            bp, h, ctx, heads, capture, use_flash, flash_tp, stash8_names
+            bp, h, ctx, heads, capture, use_flash, flash_tp, stash8_names,
+            pre_padded=ntok if pad_to else 0,
         )
         if scores is not None:
             scores_out[f"{name}.transformer_blocks.{i}.attn2"] = scores
+    if pad_to:
+        h = h[:, :ntok]
     if cfg.use_linear_projection:
         h = dense(p["proj_out"], h)
         h = h.reshape(b, hh, ww, c)

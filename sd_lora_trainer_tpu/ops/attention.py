@@ -73,8 +73,16 @@ def self_attention(
     tp_shard=None,  # (Mesh, data_axis_name, model_axis_name)
     name_tag: str = "",  # checkpoint_name suffix for the flash residuals
     stash8_out: bool = False,  # stash the flash output residual as int8
+    pre_padded: int = 0,  # caller padded the sequence; this many tokens are real
 ) -> jnp.ndarray:
     """Self-attention over image tokens; flash kernel when shapes qualify.
+
+    `pre_padded > 0`: the sequence was zero-padded by the caller (the UNet
+    pads once per spatial-transformer module, models/unet.py) and only the
+    first `pre_padded` tokens are real. The flash path masks the pad tokens
+    via segment ids; every einsum fallback masks the pad KEYS additively so
+    real rows never attend to them (pad rows' output is garbage either way —
+    the caller slices it off, and its cotangent is zero).
 
     `tp_shard`: under Megatron tensor parallelism q/k/v arrive feature-sharded
     (attention heads split across the 'model' axis) and the Pallas flash
@@ -97,6 +105,7 @@ def self_attention(
                 return self_attention(
                     ql, kl, vl, local_heads, use_flash=use_flash,
                     name_tag=name_tag, stash8_out=stash8_out,
+                    pre_padded=pre_padded,
                 )
 
             return jax.shard_map(
@@ -111,8 +120,17 @@ def self_attention(
         from sd_lora_trainer_tpu.ops.flash_attention import flash_attention_qualifies, flash_mha
 
         if flash_attention_qualifies(q.shape, k.shape, heads):
-            return flash_mha(q, k, v, heads, name_tag=name_tag, stash8_out=stash8_out)
-    out, _ = multihead_attention(q, k, v, heads)
+            return flash_mha(
+                q, k, v, heads, name_tag=name_tag, stash8_out=stash8_out,
+                pre_padded=pre_padded,
+            )
+    mask = None
+    if pre_padded:
+        # einsum fallback on a pre-padded sequence: exclude the pad keys so
+        # real rows match the unpadded computation exactly
+        keymask = jnp.arange(k.shape[1]) < pre_padded
+        mask = jnp.where(keymask, 0.0, -1e9).astype(jnp.float32)[None, None, None, :]
+    out, _ = multihead_attention(q, k, v, heads, mask=mask)
     return out
 
 

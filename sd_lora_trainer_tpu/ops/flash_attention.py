@@ -58,13 +58,16 @@ def flash_attention_qualifies(q_shape, k_shape, heads: int) -> bool:
 def _pad_plan(l: int):
     """(padded_len, block_q, block_k) for a self-attention length l.
 
-    The kernel needs block sizes that divide the sequence length. 128-multiple
-    lengths keep the measured-best 512/1024 blocks (which always divide the
-    padded lengths chosen here); ragged lengths pad to the next multiple of
-    1024 above 512 (so 512 | lp and 1024 | lp), or of 128 below (blocks = lp).
-    Pad overhead is bounded by 1024/l (<= 3.6% at SDXL bucket shapes).
+    The kernel needs block sizes that divide the sequence length, and the
+    measured-best blocks are 512/1024 (block_k=1024 beats 512 by ~13% at
+    [8,10,4096,64]; the 128/128 fallback the old plan used for 128-multiple
+    lengths like 3840 measured ~10x slower END TO END at the 768x1280 bucket
+    — bench_logs/r5_ragged_diag.log). So: any length above 512 that is not
+    already a 1024-multiple pads up to one (<= 6.7% extra FLOPs at real
+    bucket shapes, masked via segment ids); lengths <= 512 pad to a
+    128-multiple and use single-block grids.
     """
-    if l % 128 == 0:
+    if l % 1024 == 0 or (l <= 512 and l % 128 == 0):
         lp = l
     else:
         lp = _round_up(l, 1024 if l > 512 else 128)
@@ -193,8 +196,18 @@ def flash_mha(
     heads: int,
     name_tag: str = "",
     stash8_out: bool = False,
+    pre_padded: int = 0,
 ) -> jnp.ndarray:
-    """[B, L, D] multihead flash attention via the Pallas TPU kernel."""
+    """[B, L, D] multihead flash attention via the Pallas TPU kernel.
+
+    `pre_padded > 0`: the caller already padded the sequence to this length's
+    _pad_plan (models/unet.py pads ONCE per spatial-transformer module — the
+    per-call jnp.pad/slice pairs this skips were the aspect-ratio-bucket
+    bottleneck: ~500 serialized 40 MB DMAs per step, async-copy wall 7.1 s/step
+    vs 2.1 s of compute, bench_logs/r5_session.log ragged profile). Only the
+    first `pre_padded` tokens are real; the kernel masks the rest via segment
+    ids and the output KEEPS the padded length (caller slices at module exit).
+    """
     b, lq, d = q.shape
     lk = k.shape[1]
     head_dim = d // heads
@@ -223,7 +236,11 @@ def flash_mha(
     # FLOPs at SDXL bucket shapes vs an einsum fallback whose [B,h,L,L]
     # logits are GBs. The pad rows' outputs are sliced off below; their
     # zero cotangent keeps dk/dv exact.
-    if lq == lk:
+    if pre_padded:
+        lp, blk_q, blk_k = _pad_plan(pre_padded)
+        assert lq == lk == lp, (lq, lk, lp, pre_padded)
+        valid = pre_padded if pre_padded != lp else 0
+    elif lq == lk:
         lp, blk_q, blk_k = _pad_plan(lq)
         valid = lq if lp != lq else 0
         if valid:
@@ -235,7 +252,7 @@ def flash_mha(
         # was a wash, 256 regressed). Both clamp to the sequence length.
         blk_q, blk_k, valid = min(512, lq), min(1024, lk), 0
     out = _named_flash(sm_scale, blk_q, blk_k, name_tag, stash8_out, valid)(qh, kh, vh)
-    if valid:
+    if valid and not pre_padded:
         out = out[:, :, :lq]
     if padded != head_dim:
         out = out[..., :head_dim]

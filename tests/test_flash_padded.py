@@ -26,8 +26,13 @@ def test_pad_plan():
     assert _pad_plan(3952) == (4096, 512, 1024)  # 832x1216 bucket
     assert _pad_plan(4032) == (4096, 512, 1024)  # 448x576 sd15 bucket
     assert _pad_plan(300) == (384, 384, 384)
-    lp, bq, bk = _pad_plan(640)  # 128-multiple stays unpadded, blocks divide
-    assert lp == 640 and lp % bq == 0 and lp % bk == 0
+    # 128-multiples above 512 now pad to a 1024-multiple too: the 128/128
+    # block fallback they used to take measured ~10x slower end-to-end at
+    # the 768x1280 bucket (bench_logs/r5_ragged_diag.log)
+    assert _pad_plan(3840) == (4096, 512, 1024)  # 768x1280 bucket
+    assert _pad_plan(960) == (1024, 512, 1024)
+    assert _pad_plan(640) == (1024, 512, 1024)
+    assert _pad_plan(512) == (512, 512, 512)  # <=512 stays single-block
 
 
 def _einsum_ref(q, k, v, heads):
@@ -92,6 +97,44 @@ def test_flash_mha_stash8_out_close_to_exact():
     rowmax = np.abs(np.asarray(o_exact)).max()
     assert err.max() <= rowmax / 200, (err.max(), rowmax)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_flash_mha_pre_padded_matches_per_call_pad():
+    """pre_padded: the caller pads once (models/unet.py module-level pad) and
+    the kernel output keeps the padded length. Real rows must match the
+    per-call-pad path exactly; grads through real rows must match too."""
+    from jax.experimental.pallas.tpu import force_tpu_interpret_mode
+
+    heads, hd, L = 2, 64, 300
+    from sd_lora_trainer_tpu.ops.flash_attention import _pad_plan
+
+    lp = _pad_plan(L)[0]
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(k1, (1, L, heads * hd), jnp.float32)
+    k = jax.random.normal(k2, (1, L, heads * hd), jnp.float32)
+    v = jax.random.normal(k3, (1, L, heads * hd), jnp.float32)
+
+    def padded(x):
+        return jnp.pad(x, ((0, 0), (0, lp - L), (0, 0)))
+
+    def loss_pre(q, k, v):
+        o = flash_mha(padded(q), padded(k), padded(v), heads, pre_padded=L)
+        return jnp.sum(jnp.sin(o[:, :L]))
+
+    def loss_percall(q, k, v):
+        return jnp.sum(jnp.sin(flash_mha(q, k, v, heads)))
+
+    with force_tpu_interpret_mode():
+        o_pre = flash_mha(padded(q), padded(k), padded(v), heads, pre_padded=L)
+        o_std = flash_mha(q, k, v, heads)
+        g_pre = jax.grad(loss_pre, argnums=(0, 1, 2))(q, k, v)
+        g_std = jax.grad(loss_percall, argnums=(0, 1, 2))(q, k, v)
+    assert o_pre.shape == (1, lp, heads * hd)  # padded length kept
+    np.testing.assert_allclose(
+        np.asarray(o_pre[:, :L]), np.asarray(o_std), atol=2e-5, rtol=0
+    )
+    for a, b in zip(g_pre, g_std):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=0)
 
 
 def test_qualifies_accepts_bucket_lengths(monkeypatch):
